@@ -1,0 +1,263 @@
+"""Host-side data loading: decode + letterbox on CPU threads, everything else
+(augmentation, pose rendering, normalization) in fused jit programs on device
+(ops/transforms.py, ops/pose.py).
+
+This replaces the reference's DataLoader-worker-process design where PIL,
+scipy gaussian filters, and per-image torchvision transforms all run per
+worker (FD/reid/utils/data/preprocessor.py, CC/.../preprocessor.py). Host
+work is reduced to JPEG decode + one fixed-size resize; batches are uint8 —
+4× less host→device traffic than float32.
+
+Modes mirror the reference Preprocessor(s):
+- reid            — (img, fname, pid, camid, index)
+  (CC/clustercontrast/utils/data/preprocessor.py:108-122)
+- with_gan        — reid tuple + GAN dict {Xs, Ps-keypoints, gt_label}
+  (preprocessor.py:124-137,145-191)
+- only_gan        — GAN dict only (preprocessor.py:139-143)
+- fdgan_pose      — {origin, target, landmark, pid} with a random same-pid
+  target image (FD/reid/utils/data/preprocessor.py:63-98)
+"""
+
+import json
+import os.path as osp
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+from PIL import Image
+
+NUM_KEYPOINTS = 18
+
+
+def read_image(fpath, height=None, width=None):
+    """Decode to RGB uint8 HWC; optional bilinear resize (RectScale)."""
+    img = Image.open(fpath).convert("RGB")
+    if height is not None:
+        img = img.resize((width, height), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
+class PoseAnnotations:
+    """Keypoint CSV (``name:keypoints_y:keypoints_x`` with json-list columns)
+    → dict name → (K, 2) float array of (y, x), −1 = missing
+    (CC/clustercontrast/utils/data/preprocessor.py:77-78,193-199)."""
+
+    def __init__(self, csv_path):
+        self.table = {}
+        with open(csv_path) as f:
+            header = f.readline().strip().split(":")
+            iy, ix = header.index("keypoints_y"), header.index("keypoints_x")
+            iname = header.index("name")
+            for line in f:
+                parts = line.strip().split(":")
+                if len(parts) < 3:
+                    continue
+                ys = json.loads(parts[iy])
+                xs = json.loads(parts[ix])
+                self.table[parts[iname]] = np.stack(
+                    [np.asarray(ys, np.float32), np.asarray(xs, np.float32)], axis=1)
+
+    def __contains__(self, name):
+        return name in self.table
+
+    def __getitem__(self, name):
+        return self.table[name]
+
+
+def load_landmark_txt(path, scale_h=1.0, scale_w=1.0):
+    """FD-GAN landmark file: one ``y x`` pair per line, scaled and truncated to
+    int, negatives → −1 (FD/reid/utils/data/preprocessor.py:100-112)."""
+    pts = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            h0, w0 = line.split()[:2]
+            h0 = int(float(h0) * scale_h)
+            w0 = int(float(w0) * scale_w)
+            pts.append([h0 if h0 >= 0 else -1, w0 if w0 >= 0 else -1])
+    return np.asarray(pts, np.float32)
+
+
+class Preprocessor:
+    """Per-index item factory returning plain numpy dicts (host side only)."""
+
+    def __init__(self, dataset, root=None, mode="reid",
+                 height=256, width=128, gan_height=128, gan_width=64,
+                 pose_file=None, pose_root=None, pid_imgs=None,
+                 flip_all=False, seed=None):
+        self.dataset = dataset
+        self.root = root
+        self.mode = mode
+        self.height, self.width = height, width
+        self.gan_height, self.gan_width = gan_height, gan_width
+        self.annotations = PoseAnnotations(pose_file) if pose_file else None
+        self.pose_root = pose_root
+        self.pid_imgs = pid_imgs
+        self.flip_all = flip_all
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def _path(self, fname):
+        return osp.join(self.root, fname) if self.root is not None else fname
+
+    def __getitem__(self, index):
+        if isinstance(index, (tuple, list)) and self.mode == "fdgan_pose":
+            # pair index from RandomPairSampler
+            return self._fdgan_pair_item(index)
+        if self.mode == "reid":
+            return self._reid_item(index)
+        if self.mode == "with_gan":
+            item = self._reid_item(index)
+            item.update(self._gan_item(index, flip=item["flip"]))
+            return item
+        if self.mode == "only_gan":
+            item = self._gan_item(index, flip=False)
+            _, pid, _ = self.dataset[index]
+            item["pid"] = pid
+            item["index"] = index
+            return item
+        raise ValueError(f"unknown mode {self.mode}")
+
+    def _reid_item(self, index):
+        fname, pid, camid = self.dataset[index]
+        img = read_image(self._path(fname), self.height, self.width)
+        flip = bool(self.rng.rand() < 0.5) if self.flip_all else False
+        return {"img": img, "fname": fname, "pid": pid, "camid": camid,
+                "index": index, "flip": flip}
+
+    def _gan_item(self, index, flip=False):
+        fname, pid, _ = self.dataset[index]
+        base = osp.basename(fname)
+        with Image.open(self._path(fname)) as im:
+            old_size = (im.height, im.width)
+            xs = np.asarray(
+                im.convert("RGB").resize((self.gan_width, self.gan_height),
+                                         Image.BILINEAR), np.uint8)
+        gt_label = int(base.split("_", 1)[0])
+        out = {"Xs": xs, "Xs_path": base, "gt_label": gt_label,
+               "gan_flip": flip, "old_size": np.asarray(old_size, np.float32)}
+        if self.annotations is not None and base in self.annotations:
+            out["keypoints"] = self.annotations[base]
+        else:
+            out["keypoints"] = np.full((NUM_KEYPOINTS, 2), -1, np.float32)
+        return out
+
+    def _fdgan_pair_item(self, pair):
+        """One (anchor, other) pair → two reid items + pose-target bundle for
+        the anchor (FD/reid/utils/data/preprocessor.py:63-98): random same-pid
+        target image + its landmarks scaled to the model frame."""
+        items = []
+        for index in pair:
+            fname, pid, camid = self.dataset[index]
+            img = read_image(self._path(fname), self.height, self.width)
+            bundle = {"img": img, "pid": pid, "camid": camid, "fname": fname}
+            pid_query = list(self.pid_imgs[pid])
+            base = osp.basename(fname)
+            if base in pid_query and len(pid_query) > 1:
+                pid_query.remove(base)
+            pname = osp.splitext(pid_query[self.rng.randint(len(pid_query))])[0]
+            gt_path = self._path(osp.join(osp.dirname(fname), pname + ".jpg")) \
+                if osp.dirname(fname) else self._path(pname + ".jpg")
+            with Image.open(gt_path) as gt:
+                scale_h = self.height / gt.height
+                scale_w = self.width / gt.width
+                target = np.asarray(
+                    gt.convert("RGB").resize((self.width, self.height),
+                                             Image.BILINEAR), np.uint8)
+            lm_path = osp.join(self.pose_root, pname + ".txt")
+            landmark = load_landmark_txt(lm_path, scale_h, scale_w)
+            flip = bool(self.rng.rand() < 0.5)
+            bundle.update({"target": target, "landmark": landmark, "flip": flip})
+            items.append(bundle)
+        return items
+
+
+def _collate(items):
+    """Stack a list of dicts into a dict of arrays (lists for strings)."""
+    if isinstance(items[0], list):  # pair mode: transpose
+        return [_collate([it[k] for it in items]) for k in range(len(items[0]))]
+    out = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if isinstance(vals[0], str):
+            out[key] = vals
+        elif isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = np.asarray(vals)
+    return out
+
+
+class DataLoader:
+    """Threaded prefetching batch loader.
+
+    Decodes items with a thread pool (PIL releases the GIL during decode) and
+    keeps ``prefetch`` collated batches ready — the host-side analogue of the
+    reference's num_workers=4 worker processes.
+    """
+
+    def __init__(self, preprocessor, sampler=None, batch_size=64, num_workers=4,
+                 drop_last=True, shuffle=False, prefetch=2, seed=None):
+        self.pre = preprocessor
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+
+    def _indices(self):
+        if self.sampler is not None:
+            return list(self.sampler)
+        idx = np.arange(len(self.pre))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx.tolist()
+
+    def __len__(self):
+        n = len(self._indices()) if self.sampler is not None else len(self.pre)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        indices = self._indices()
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        q = queue.Queue(maxsize=self.prefetch)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    items = list(pool.map(self.pre.__getitem__, b))
+                    q.put(_collate(items))
+            except RuntimeError:
+                pass  # pool shut down by an abandoned consumer
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            try:  # unblock the producer if it is waiting on a full queue
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            pool.shutdown(wait=False)

@@ -1,0 +1,102 @@
+"""Pairwise distance / similarity kernels.
+
+The reference computes eval distance matrices on CPU with
+``x²+y²−2x·yᵀ`` via ``addmm_`` (CC/clustercontrast/evaluators.py:71-88) and
+k-NN via faiss-gpu. Here every N×N computation is an MXU matmul, computed in
+row blocks so arbitrary N streams through fixed-size tiles, and shardable over
+the data mesh (each chip owns a row-block of queries against the full
+gallery — the blockwise-matmul design of SURVEY.md §5.7).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
+
+
+@jax.jit
+def squared_euclidean(x, y):
+    """(m, d), (n, d) → (m, n) squared L2 distances, MXU-dominant form
+    ``‖x‖² + ‖y‖² − 2 x·yᵀ`` (CC/clustercontrast/evaluators.py:78-88)."""
+    x2 = jnp.sum(x * x, axis=1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=1, keepdims=True)
+    d = x2 + y2.T - 2.0 * jnp.dot(x, y.T, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(d, 0.0)
+
+
+@jax.jit
+def cosine_similarity(x, y):
+    """Inner products of L2-normalized rows (faiss IP search equivalent)."""
+    return jnp.dot(l2_normalize(x), l2_normalize(y).T,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def pairwise_distance(query, gallery=None, block_rows=4096):
+    """Full distance matrix, streamed in row blocks (device memory bound by
+    block_rows×n). With ``gallery=None`` computes the self-distance matrix
+    (parity: CC/clustercontrast/evaluators.py:71-88).
+
+    Inputs/outputs are host numpy or jax arrays; result is a host array for
+    consumption by the (host-side) CMC/mAP and clustering code.
+    """
+    import numpy as np
+
+    q = jnp.asarray(query, jnp.float32)
+    g = q if gallery is None else jnp.asarray(gallery, jnp.float32)
+    m = q.shape[0]
+    out = []
+    for s in range(0, m, block_rows):
+        out.append(np.asarray(squared_euclidean(q[s:s + block_rows], g)))
+    return np.concatenate(out, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_block(q_block, gallery_n, k):
+    """Top-k nearest neighbors (L2) of a query block against gallery.
+
+    Uses negative squared distance with lax.top_k (MXU matmul + on-chip
+    top-k) — the TPU replacement for faiss bruteForceKnn
+    (CC/clustercontrast/utils/faiss_rerank.py:39-62).
+    Returns (distances (b,k), indices (b,k)) sorted ascending by distance.
+    """
+    d = squared_euclidean(q_block, gallery_n)
+    neg, idx = jax.lax.top_k(-d, k)
+    return -neg, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_ip_block(q_block, gallery_n, k):
+    """Top-k by inner product (features assumed L2-normalized) — the faiss
+    IndexFlatIP path used by infomap clustering
+    (CC/clustercontrast/utils/infomap_cluster.py:63-72)."""
+    s = jnp.dot(q_block, gallery_n.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    sim, idx = jax.lax.top_k(s, k)
+    return sim, idx
+
+
+def knn_search(features, k, metric="l2", block_rows=4096):
+    """All-pairs k-NN of a feature set against itself, streamed in blocks.
+
+    Self-match included as the first neighbor (distance 0 / sim 1), matching
+    faiss behavior the reference relies on (k_reciprocal uses k1+1 neighbors
+    including self, faiss_rerank.py:23-27).
+    Returns host arrays (vals (N,k), idx (N,k)).
+    """
+    import numpy as np
+
+    f = jnp.asarray(features, jnp.float32)
+    n = f.shape[0]
+    vals, idxs = [], []
+    fn = knn_block if metric == "l2" else knn_ip_block
+    for s in range(0, n, block_rows):
+        v, i = fn(f[s:s + block_rows], f, k)
+        vals.append(np.asarray(v))
+        idxs.append(np.asarray(i))
+    return np.concatenate(vals, 0), np.concatenate(idxs, 0)

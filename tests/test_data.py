@@ -1,0 +1,123 @@
+"""Synthetic dataset + sampler + loader integration tests (SURVEY.md §4.3)."""
+
+import numpy as np
+import pytest
+
+from reid_gan_tpu.data import IterLoader
+from reid_gan_tpu.data.datasets import create
+from reid_gan_tpu.data.loader import DataLoader, PoseAnnotations, Preprocessor
+from reid_gan_tpu.data.sampler import (
+    RandomIdentitySampler,
+    RandomMultipleGallerySampler,
+    RandomPairSampler,
+    ShardedSampler,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    return create("synthetic", str(root), num_ids=8, num_cams=3, imgs_per_id=4)
+
+
+def test_synthetic_scan(dataset):
+    assert len(dataset.train) > 0
+    assert len(dataset.query) == 8
+    assert len(dataset.gallery) == 8
+    pids = {pid for _, pid, _ in dataset.train}
+    assert pids == set(range(8))  # relabeled to 0..n-1
+    cams = {cam for _, _, cam in dataset.train}
+    assert cams <= {0, 1, 2}
+
+
+def test_pose_annotations(dataset):
+    ann = PoseAnnotations(dataset.train_pose_dir)
+    import os.path as osp
+    name = osp.basename(dataset.train[0][0])
+    assert name in ann
+    kp = ann[name]
+    assert kp.shape == (18, 2)
+
+
+def test_pxk_sampler_structure(dataset):
+    k = 4
+    sampler = RandomMultipleGallerySampler(dataset.train, num_instances=k, seed=0)
+    idx = list(sampler)
+    pids = [dataset.train[i][1] for i in idx]
+    # every aligned K-group is single-pid
+    for s in range(0, len(pids) - k + 1, k):
+        assert len(set(pids[s:s + k])) == 1
+
+
+def test_identity_sampler(dataset):
+    sampler = RandomIdentitySampler(dataset.train, num_instances=3, seed=0)
+    idx = list(sampler)
+    assert len(idx) == len(sampler)
+    pids = [dataset.train[i][1] for i in idx]
+    for s in range(0, len(pids), 3):
+        assert len(set(pids[s:s + 3])) == 1
+
+
+def test_sharded_sampler(dataset):
+    base = RandomIdentitySampler(dataset.train, num_instances=2, seed=0)
+    full = list(base)
+    base.rng = np.random.RandomState(0)  # reset for identical permutation
+    shard0 = list(ShardedSampler(RandomIdentitySampler(dataset.train, 2, seed=0), 0, 2))
+    shard1 = list(ShardedSampler(RandomIdentitySampler(dataset.train, 2, seed=0), 1, 2))
+    assert sorted(shard0 + shard1) == sorted(full)
+
+
+def test_pair_sampler(dataset):
+    sampler = RandomPairSampler(dataset.train, neg_pos_ratio=2, seed=0)
+    pairs = list(sampler)
+    assert len(pairs) == len(sampler)
+    pid = lambda i: dataset.train[i][1]  # noqa: E731
+    for j in range(0, len(pairs), 3):
+        a, p = pairs[j]
+        assert pid(a) == pid(p)
+        for a2, n in pairs[j + 1:j + 3]:
+            assert a2 == a and pid(n) != pid(a)
+
+
+def test_loader_reid_mode(dataset):
+    pre = Preprocessor(dataset.train, mode="reid", height=64, width=32, seed=0)
+    loader = DataLoader(pre, batch_size=8, shuffle=True, seed=0, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["img"].shape == (8, 64, 32, 3)
+    assert batch["img"].dtype == np.uint8
+    assert batch["pid"].shape == (8,)
+    assert len(batch["fname"]) == 8
+
+
+def test_loader_with_gan_mode(dataset):
+    pre = Preprocessor(dataset.train, mode="with_gan", height=64, width=32,
+                       gan_height=32, gan_width=16,
+                       pose_file=dataset.train_pose_dir, flip_all=True, seed=0)
+    loader = DataLoader(pre, batch_size=4, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["Xs"].shape == (4, 32, 16, 3)
+    assert batch["keypoints"].shape == (4, 18, 2)
+    assert batch["gt_label"].shape == (4,)
+    assert batch["old_size"].shape == (4, 2)
+
+
+def test_loader_fdgan_pair_mode(dataset):
+    pre = Preprocessor(dataset.train, mode="fdgan_pose", height=64, width=32,
+                       pid_imgs=dataset.pid_imgs, pose_root=dataset.poses_dir, seed=0)
+    sampler = RandomPairSampler(dataset.train, neg_pos_ratio=1, seed=0)
+    loader = DataLoader(pre, sampler=sampler, batch_size=4, num_workers=2)
+    b1, b2 = next(iter(loader))
+    assert b1["img"].shape == (4, 64, 32, 3)
+    assert b1["target"].shape == (4, 64, 32, 3)
+    assert b1["landmark"].shape == (4, 18, 2)
+    assert b2["img"].shape == (4, 64, 32, 3)
+
+
+def test_iterloader_wraps(dataset):
+    pre = Preprocessor(dataset.train, mode="reid", height=32, width=16)
+    loader = DataLoader(pre, batch_size=16, num_workers=2)
+    it = IterLoader(loader, length=5)
+    it.new_epoch()
+    for _ in range(12):  # > one epoch: must wrap silently
+        batch = it.next()
+        assert batch["img"].shape[0] == 16
