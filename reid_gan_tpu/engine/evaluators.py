@@ -1,0 +1,158 @@
+"""Feature extraction + evaluation.
+
+Parity: CC/clustercontrast/evaluators.py (Evaluator, extract_features,
+pairwise_distance, evaluate_all). The forward runs as a jitted, optionally
+mesh-sharded program over fixed-size uint8 batches (padded final batch);
+the eval transform (resize + normalize) is fused into the same program so the
+host ships raw uint8 only.
+"""
+
+import time
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import pairwise_distance as _pairwise
+from ..ops.jaccard import re_ranking
+from ..ops.transforms import reid_augment
+from ..parallel.mesh import batch_sharding, replicate, shard_batch
+from ..utils import AverageMeter
+from .metrics import cmc, mean_ap
+
+
+class FeatureExtractor:
+    """Jitted eval forward: uint8 staging batch → L2-normalized features.
+
+    With a mesh, the batch is sharded over the data axis and params
+    replicated — XLA runs pure data-parallel inference over ICI.
+    """
+
+    def __init__(self, model, variables, height=256, width=128,
+                 batch_size=256, mesh=None, extra_features=False,
+                 dtype=jnp.bfloat16):
+        self.model = model
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.extra = extra_features
+        if mesh is not None:
+            variables = replicate(mesh, variables)
+        self.variables = variables
+
+        def fwd(variables, img_u8):
+            x = reid_augment(jax.random.PRNGKey(0), img_u8,
+                             height=height, width=width, train=False)
+            x = x.astype(dtype)
+            out = model.apply(variables, x, train=False, test_all=extra_features)
+            feat = out["feat"].astype(jnp.float32)
+            if extra_features:
+                gan = out["gan_feat"].astype(jnp.float32)
+                return feat, jnp.mean(gan, axis=(1, 2))
+            return feat
+
+        if mesh is not None:
+            in_shardings = (jax.tree_util.tree_map(lambda x: x.sharding, variables),
+                            batch_sharding(mesh, 4))
+            self._fwd = jax.jit(fwd, in_shardings=in_shardings)
+        else:
+            self._fwd = jax.jit(fwd)
+
+    def __call__(self, img_u8):
+        """img_u8: (B, H, W, 3) host uint8 (any B ≤ batch_size; padded)."""
+        n = img_u8.shape[0]
+        if n < self.batch_size:
+            pad = np.zeros((self.batch_size - n,) + img_u8.shape[1:], np.uint8)
+            img_u8 = np.concatenate([img_u8, pad], axis=0)
+        if self.mesh is not None:
+            img_u8 = shard_batch(self.mesh, img_u8)
+        out = self._fwd(self.variables, img_u8)
+        if self.extra:
+            f, g = out
+            return np.asarray(f)[:n], np.asarray(g)[:n]
+        return np.asarray(out)[:n]
+
+
+def extract_features(extractor, data_loader, print_freq=50):
+    """Run the extractor over a loader; returns OrderedDicts fname → feature
+    (+ gan feature) and fname → pid (parity: evaluators.py:30-68)."""
+    batch_time = AverageMeter()
+    data_time = AverageMeter()
+    features = OrderedDict()
+    gan_features = OrderedDict()
+    labels = OrderedDict()
+    end = time.time()
+    for i, batch in enumerate(data_loader):
+        data_time.update(time.time() - end)
+        out = extractor(batch["img"])
+        if extractor.extra:
+            feats, gans = out
+        else:
+            feats, gans = out, None
+        for j, fname in enumerate(batch["fname"]):
+            features[fname] = feats[j]
+            labels[fname] = int(batch["pid"][j])
+            if gans is not None:
+                gan_features[fname] = gans[j]
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if (i + 1) % print_freq == 0:
+            print(f"Extract Features: [{i + 1}]\t"
+                  f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                  f"Data {data_time.val:.3f} ({data_time.avg:.3f})")
+    if extractor.extra:
+        return features, gan_features, labels
+    return features, labels
+
+
+def pairwise_distance(features, query=None, gallery=None):
+    """Distance matrix from the fname-keyed feature dict
+    (parity: evaluators.py:71-88). Returns (distmat, x, y)."""
+    if query is None and gallery is None:
+        x = np.stack(list(features.values()))
+        return _pairwise(x), x, x
+    x = np.stack([features[f] for f, _, _ in query])
+    y = np.stack([features[f] for f, _, _ in gallery])
+    return _pairwise(x, y), x, y
+
+
+def evaluate_all(distmat, query=None, gallery=None,
+                 query_ids=None, gallery_ids=None,
+                 query_cams=None, gallery_cams=None,
+                 cmc_topk=(1, 5, 10), cmc_flag=False):
+    """mAP + market1501-mode CMC (parity: evaluators.py:91-122)."""
+    if query is not None and gallery is not None:
+        query_ids = [pid for _, pid, _ in query]
+        gallery_ids = [pid for _, pid, _ in gallery]
+        query_cams = [cam for _, _, cam in query]
+        gallery_cams = [cam for _, _, cam in gallery]
+    mAP = mean_ap(distmat, query_ids, gallery_ids, query_cams, gallery_cams)
+    print("Mean AP: {:4.1%}".format(mAP))
+    if not cmc_flag:
+        return mAP
+    scores = cmc(distmat, query_ids, gallery_ids, query_cams, gallery_cams,
+                 separate_camera_set=False, single_gallery_shot=False,
+                 first_match_break=True)
+    print("CMC Scores:")
+    for k in cmc_topk:
+        print("  top-{:<4}{:12.1%}".format(k, scores[k - 1]))
+    return scores, mAP
+
+
+class Evaluator:
+    """Parity: CC/clustercontrast/evaluators.py:125-142."""
+
+    def __init__(self, extractor):
+        self.extractor = extractor
+
+    def evaluate(self, data_loader, query, gallery, cmc_flag=False, rerank=False):
+        features, _ = extract_features(self.extractor, data_loader)
+        distmat, _, _ = pairwise_distance(features, query, gallery)
+        results = evaluate_all(distmat, query=query, gallery=gallery, cmc_flag=cmc_flag)
+        if not rerank:
+            return results
+        print("Applying person re-ranking ...")
+        distmat_qq, _, _ = pairwise_distance(features, query, query)
+        distmat_gg, _, _ = pairwise_distance(features, gallery, gallery)
+        distmat = re_ranking(distmat, distmat_qq, distmat_gg)
+        return evaluate_all(distmat, query=query, gallery=gallery, cmc_flag=cmc_flag)

@@ -1,0 +1,363 @@
+"""ResNet re-ID backbones in flax.linen, NHWC, TPU-first.
+
+Covers both reference backbones with one block library:
+- CC backbone (CC/clustercontrast/models/resnet.py): torchvision-style
+  ResNet-18/34/50/101/152 with **last-stride 1** (resnet.py:34-35), pluggable
+  pooling (GeM default), ``feat_bn`` with frozen bias (resnet.py:61),
+  eval → L2-normalized feature, train → (bn_x, L2-normalized GAN feature map)
+  (resnet.py:73-107).
+- FD backbone (FD/reid/models/resnet.py): stride-2 layer4, average pooling,
+  optional embedding/norm/dropout/classifier head (resnet.py:65-88).
+- IBN-a variants (CC/clustercontrast/models/resnet_ibn_a.py:22-105): first
+  half of the post-conv1 block channels instance-normalized in stages 1-3.
+
+Design notes (TPU): NHWC layout so convs map directly onto MXU tiling;
+BatchNorm under jit with a batch-sharded input computes GLOBAL batch stats
+(XLA inserts the cross-chip reduction) — i.e. sync-BN, a strict improvement
+over the reference's per-replica DataParallel BN; bfloat16 compute is applied
+by the train step via ``jax.default_matmul_precision`` rather than per-layer
+casts.
+"""
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .pooling import build_pooling_layer
+
+conv_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class IBN(nn.Module):
+    """Instance-Batch Norm split: first half channels IN, second half BN
+    (CC/clustercontrast/models/resnet_ibn_a.py IBN module)."""
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c = x.shape[-1]
+        half = c // 2
+        x_in = nn.GroupNorm(num_groups=half, epsilon=1e-5, name="IN")(x[..., :half])
+        x_bn = nn.BatchNorm(use_running_average=not train, momentum=self.momentum,
+                            epsilon=1e-5, name="BN")(x[..., half:])
+        return jnp.concatenate([x_in, x_bn], axis=-1)
+
+
+def _bn(name, train, momentum=0.9):
+    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
+                        epsilon=1e-5, name=name)
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    ibn: bool = False
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride), padding=1,
+                    use_bias=False, kernel_init=conv_kaiming, name="conv1")(x)
+        y = IBN(name="bn1")(y, train) if self.ibn else _bn("bn1", train)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+                    kernel_init=conv_kaiming, name="conv2")(y)
+        y = _bn("bn2", train)(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.filters, (1, 1), (self.stride, self.stride),
+                               use_bias=False, kernel_init=conv_kaiming,
+                               name="downsample_conv")(x)
+            residual = _bn("downsample_bn", train)(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    filters: int
+    stride: int = 1
+    ibn: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = nn.Conv(self.filters, (1, 1), use_bias=False,
+                    kernel_init=conv_kaiming, name="conv1")(x)
+        y = IBN(name="bn1")(y, train) if self.ibn else _bn("bn1", train)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride), padding=1,
+                    use_bias=False, kernel_init=conv_kaiming, name="conv2")(y)
+        y = _bn("bn2", train)(y)
+        y = nn.relu(y)
+        out_c = self.filters * self.expansion
+        y = nn.Conv(out_c, (1, 1), use_bias=False,
+                    kernel_init=conv_kaiming, name="conv3")(y)
+        y = _bn("bn3", train)(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(out_c, (1, 1), (self.stride, self.stride),
+                               use_bias=False, kernel_init=conv_kaiming,
+                               name="downsample_conv")(x)
+            residual = _bn("downsample_bn", train)(residual)
+        return nn.relu(y + residual)
+
+
+STAGES = {
+    18: (BasicBlock, (2, 2, 2, 2)),
+    34: (BasicBlock, (3, 4, 6, 3)),
+    50: (Bottleneck, (3, 4, 6, 3)),
+    101: (Bottleneck, (3, 4, 23, 3)),
+    152: (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+class ResNetBackbone(nn.Module):
+    """conv1 → maxpool → layer1..4 feature extractor (NHWC in, NHWC out)."""
+    depth: int = 50
+    last_stride: int = 1
+    ibn: bool = False                      # IBN-a in stages 1-3
+    stop_at_stage: int = 4                 # for part-branch variants
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls, sizes = STAGES[self.depth]
+        y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                    kernel_init=conv_kaiming, name="conv1")(x)
+        y = _bn("bn1", train)(y)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        filters = (64, 128, 256, 512)
+        for i in range(self.stop_at_stage):
+            stride = 1 if i == 0 else (self.last_stride if i == 3 else 2)
+            ibn = self.ibn and i < 3
+            for j in range(sizes[i]):
+                y = block_cls(filters[i], stride=stride if j == 0 else 1,
+                              ibn=ibn, name=f"layer{i + 1}_{j}")(y, train)
+        return y
+
+    @property
+    def out_channels(self):
+        block_cls, _ = STAGES[self.depth]
+        return 512 * (4 if block_cls is Bottleneck else 1)
+
+
+class ReIDResNet(nn.Module):
+    """CC-style re-ID model (CC/clustercontrast/models/resnet.py:14-127).
+
+    Eval: L2-normalized ``bn_x`` (plus normalized GAN map with test_all).
+    Train: ``{'feat': bn_x, 'gan_feat': normalized NHWC map}`` (+ 'prob').
+    """
+    depth: int = 50
+    ibn: bool = False
+    num_features: int = 0
+    norm: bool = False
+    dropout: float = 0.0
+    num_classes: int = 0
+    pooling_type: str = "gem"
+    cut_at_pooling: bool = False
+    last_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, test_all: bool = False):
+        fmap = ResNetBackbone(self.depth, self.last_stride, self.ibn,
+                              name="base")(x, train)
+        # GAN branch: per-position channel-L2 normalization
+        # (resnet.py:93,107 — F.normalize(gan_x, dim=1) on NCHW)
+        gan_feat = fmap * jnp.reciprocal(
+            jnp.sqrt(jnp.sum(fmap * fmap, axis=-1, keepdims=True)) + 1e-12)
+
+        pooled = build_pooling_layer(self.pooling_type, name="gap")(fmap)
+        if self.cut_at_pooling:
+            return {"feat": pooled, "gan_feat": gan_feat}
+
+        if self.num_features > 0:
+            z = nn.Dense(self.num_features, kernel_init=conv_kaiming,
+                         name="feat")(pooled)
+        else:
+            z = pooled
+        # feat_bn: bias frozen at zero (resnet.py:61) → scale-only BN
+        bn_x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, use_bias=False, name="feat_bn")(z)
+
+        if not train:
+            out = _l2n(bn_x)
+            if test_all:
+                return {"feat": out, "gan_feat": gan_feat}
+            return {"feat": out}
+
+        if self.norm:
+            bn_x = _l2n(bn_x)
+        elif self.num_features > 0:
+            bn_x = nn.relu(bn_x)
+        if self.dropout > 0:
+            bn_x = nn.Dropout(self.dropout, name="drop")(bn_x, deterministic=not train)
+        out = {"feat": bn_x, "gan_feat": gan_feat}
+        if self.num_classes > 0:
+            out["prob"] = nn.Dense(
+                self.num_classes, use_bias=False,
+                kernel_init=nn.initializers.normal(0.001), name="classifier")(bn_x)
+        return out
+
+
+class FDResNet(nn.Module):
+    """FD-GAN-style backbone head (FD/reid/models/resnet.py:65-88): always
+    average-pools; cut_at_pooling returns the pooled vector."""
+    depth: int = 50
+    num_features: int = 0
+    norm: bool = False
+    dropout: float = 0.0
+    num_classes: int = 0
+    cut_at_pooling: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        fmap = ResNetBackbone(self.depth, last_stride=2, name="base")(x, train)
+        y = jnp.mean(fmap, axis=(1, 2))
+        if self.cut_at_pooling:
+            return y
+        if self.num_features > 0:
+            y = nn.Dense(self.num_features, kernel_init=conv_kaiming, name="feat")(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="feat_bn")(y)
+        if self.norm:
+            y = _l2n(y)
+        elif self.num_features > 0:
+            y = nn.relu(y)
+        if self.dropout > 0:
+            y = nn.Dropout(self.dropout, name="drop")(y, deterministic=not train)
+        if self.num_classes > 0:
+            y = nn.Dense(self.num_classes,
+                         kernel_init=nn.initializers.normal(0.001),
+                         name="classifier")(y)
+        return y
+
+
+def _l2n(x, eps=1e-12):
+    return x * jnp.reciprocal(jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) + eps)
+
+
+# ---------------------------------------------------------------------------
+# torch-style weight import (torchvision key layout → our module tree)
+# ---------------------------------------------------------------------------
+
+def import_torch_resnet(state_dict, params, batch_stats, base_scope="base"):
+    """Copy a torchvision-style ResNet state dict (numpy values) into our
+    (params, batch_stats) trees. Conv kernels transpose OIHW→HWIO; Linear
+    weights transpose (out,in)→(in,out). Returns new (params, batch_stats).
+
+    Unmatched source keys are returned for caller inspection.
+    """
+    import copy
+
+    params = copy.deepcopy(_plain(params))
+    batch_stats = copy.deepcopy(_plain(batch_stats))
+    unmatched = []
+
+    def set_conv(scope_keys, w):
+        _assign(params, scope_keys + ("kernel",), np.transpose(w, (2, 3, 1, 0)))
+
+    def set_bn(tree, scope_keys, key, v):
+        _assign(tree, scope_keys + (key,), v)
+
+    for key, w in state_dict.items():
+        w = np.asarray(w)
+        parts = key.split(".")
+        try:
+            if parts[0] == "conv1":
+                set_conv((base_scope, "conv1"), w)
+            elif parts[0] == "bn1":
+                _route_bn(params, batch_stats, (base_scope, "bn1"), parts[1], w)
+            elif parts[0].startswith("layer"):
+                stage, blk = parts[0], parts[1]
+                name = f"{stage}_{blk}"
+                if parts[2].startswith("conv"):
+                    set_conv((base_scope, name, parts[2]), w)
+                elif parts[2].startswith("bn"):
+                    _route_bn(params, batch_stats, (base_scope, name, parts[2]),
+                              parts[3], w)
+                elif parts[2] == "downsample":
+                    if parts[3] == "0":
+                        set_conv((base_scope, name, "downsample_conv"), w)
+                    else:
+                        _route_bn(params, batch_stats,
+                                  (base_scope, name, "downsample_bn"), parts[4], w)
+                else:
+                    unmatched.append(key)
+            elif parts[0] == "feat" and parts[1] == "weight":
+                _assign(params, ("feat", "kernel"), w.T)
+            elif parts[0] == "feat" and parts[1] == "bias":
+                _assign(params, ("feat", "bias"), w)
+            elif parts[0] == "feat_bn":
+                _route_bn(params, batch_stats, ("feat_bn",), parts[1], w)
+            elif parts[0] == "classifier" and parts[1] == "weight":
+                _assign(params, ("classifier", "kernel"), w.T)
+            elif parts[0] == "classifier" and parts[1] == "bias":
+                _assign(params, ("classifier", "bias"), w)
+            elif parts[0] == "fc":
+                continue  # torchvision classification head — unused
+            else:
+                unmatched.append(key)
+        except KeyError:
+            unmatched.append(key)
+    return params, batch_stats, unmatched
+
+
+def _route_bn(params, batch_stats, scope, field, w):
+    if field == "weight":
+        _assign(params, scope + ("scale",), w)
+    elif field == "bias":
+        _assign(params, scope + ("bias",), w)
+    elif field == "running_mean":
+        _assign(batch_stats, scope + ("mean",), w)
+    elif field == "running_var":
+        _assign(batch_stats, scope + ("var",), w)
+    elif field == "num_batches_tracked":
+        pass
+    else:
+        raise KeyError(field)
+
+
+def _assign(tree, keys, value):
+    cur = tree
+    for k in keys[:-1]:
+        cur = cur[k]
+    old = cur[keys[-1]]
+    if tuple(np.shape(old)) != tuple(np.shape(value)):
+        raise KeyError(f"shape mismatch at {keys}: {np.shape(old)} vs {np.shape(value)}")
+    cur[keys[-1]] = jnp.asarray(value, jnp.asarray(old).dtype)
+
+
+def _plain(tree):
+    if hasattr(tree, "unfreeze"):
+        return tree.unfreeze()
+    return dict(tree) if isinstance(tree, dict) else tree
+
+
+def resnet18(**kw):
+    return ReIDResNet(depth=18, **kw)
+
+
+def resnet34(**kw):
+    return ReIDResNet(depth=34, **kw)
+
+
+def resnet50(**kw):
+    return ReIDResNet(depth=50, **kw)
+
+
+def resnet101(**kw):
+    return ReIDResNet(depth=101, **kw)
+
+
+def resnet152(**kw):
+    return ReIDResNet(depth=152, **kw)
+
+
+def resnet_ibn50a(**kw):
+    return ReIDResNet(depth=50, ibn=True, **kw)
+
+
+def resnet_ibn101a(**kw):
+    return ReIDResNet(depth=101, ibn=True, **kw)
