@@ -1,0 +1,74 @@
+"""FD-GAN stage II/III adversarial training CLI
+(parity: FD/train.py — pose-pair loader, FDGANModel.optimize_parameters per
+iter, per-epoch lr decay, periodic net saves; stage given by --stage 1|2).
+
+    python -m reid_gan_tpu.cli.fdgan_train --dataset synthetic --data-dir d \
+        --stage 1 --debug
+"""
+
+import os.path as osp
+import sys
+import time
+
+import jax
+import numpy as np
+
+from ..config import dump_config, parse_config
+from ..data.datasets import create as create_dataset
+from ..data.loader import DataLoader, Preprocessor
+from ..data.sampler import RandomPairSampler
+from ..models.fdgan.model import FDGANModel
+from ..utils import AverageMeter, Logger
+from ..utils.serialization import load_networks, save_networks
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
+    dump_config(cfg, cfg.train.logs_dir, "opt.txt")
+
+    dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)
+    h, w = cfg.data.height, cfg.data.width
+
+    model = FDGANModel(cfg.fdgan, height=h, width=w)
+    state = model.init_state(jax.random.PRNGKey(cfg.train.seed))
+    save_dir = osp.join(cfg.gan.save_dir, cfg.gan.name)
+    if cfg.gan.continue_train:
+        nets = load_networks({"E": state.E, "G": state.G, "Di": state.Di,
+                              "Dp": state.Dp}, save_dir, cfg.gan.which_epoch)
+        state = state._replace(**nets)
+
+    pose_root = getattr(dataset, "poses_dir", None)
+    pre = Preprocessor(list(dataset.train), mode="fdgan_pose", height=h, width=w,
+                       pid_imgs=dataset.pid_imgs, pose_root=pose_root,
+                       seed=cfg.train.seed)
+
+    epochs = 1 if cfg.train.debug else cfg.fdgan.niter + cfg.fdgan.niter_decay
+    for epoch in range(epochs):
+        state = model.set_epoch_lr(state, epoch)
+        sampler = RandomPairSampler(list(dataset.train), neg_pos_ratio=1,
+                                    seed=cfg.train.seed + epoch)
+        loader = DataLoader(pre, sampler=sampler, batch_size=cfg.data.batch_size,
+                            num_workers=cfg.data.workers, drop_last=True)
+        meters = {}
+        t0 = time.time()
+        for i, (b1, b2) in enumerate(loader):
+            if cfg.train.debug and i >= 2:
+                break
+            key = jax.random.PRNGKey(cfg.train.seed * 1000003 + epoch * 8191 + i)
+            state, errors, _fake = model.optimize_step(state, b1, b2, key)
+            for k, v in errors.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+            if (i + 1) % cfg.train.print_freq == 0:
+                msg = "  ".join(f"{k}: {m.avg:.3f}" for k, m in meters.items())
+                print(f"Epoch {epoch} [{i + 1}]  {msg}  "
+                      f"({time.time() - t0:.1f}s)")
+        print(f"End of epoch {epoch} \t Time Taken: {time.time() - t0:.0f} sec")
+        if (epoch + 1) % cfg.fdgan.save_step == 0 or epoch == epochs - 1:
+            save_networks({"E": state.E, "G": state.G, "Di": state.Di,
+                           "Dp": state.Dp}, save_dir, "latest")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,9 @@ class Preprocessor:
         if isinstance(index, (tuple, list)) and self.mode == "fdgan_pose":
             # pair index from RandomPairSampler
             return self._fdgan_pair_item(index)
+        if isinstance(index, (tuple, list)) and self.mode == "pair":
+            # plain verification pair (FD/baseline.py stage-I training)
+            return [self._reid_item(i) for i in index]
         if self.mode == "reid":
             return self._reid_item(index)
         if self.mode == "with_gan":

@@ -44,7 +44,12 @@ class FeatureExtractor:
             x = reid_augment(jax.random.PRNGKey(0), img_u8,
                              height=height, width=width, train=False)
             x = x.astype(dtype)
-            out = model.apply(variables, x, train=False, test_all=extra_features)
+            if extra_features:
+                out = model.apply(variables, x, train=False, test_all=True)
+            else:
+                out = model.apply(variables, x, train=False)
+            if not isinstance(out, dict):   # FD-style heads return raw arrays
+                out = {"feat": out}
             feat = out["feat"].astype(jnp.float32)
             if extra_features:
                 gan = out["gan_feat"].astype(jnp.float32)

@@ -1,0 +1,212 @@
+"""FD-GAN engines: the stage-I Siamese verification trainer and the two-stage
+CascadeEvaluator.
+
+Parity:
+- SiameseTrainer (FD/reid/trainers.py:19-73): CE on the verification logits of
+  (anchor, pos/neg) pairs from RandomPairSampler, SGD momentum, lr ×0.1 every
+  step_size epochs (FD/baseline.py:126-143).
+- CascadeEvaluator (FD/reid/evaluators.py:183-228): stage 1 global-feature
+  distmat + evaluate_all (allshots/cuhk03/market1501 CMC); stage 2 re-scores
+  the top-k gallery of each query with the Siamese verifier (softmax prob of
+  'different' as distance, FD/baseline.py:104-106) and pushes the tail beyond
+  a gap. The reference loops queries one GPU call at a time
+  (evaluators.py:28-31); here all m×k pairs run as one batched jit program.
+"""
+
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.transforms import normalize, random_erasing, random_hflip, to_float
+from ..utils import AverageMeter
+from .evaluators import extract_features as _extract
+from .metrics import accuracy, cmc, mean_ap
+
+
+class SiameseTrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def fd_train_augment(key, img_u8):
+    """FD default train transform (FD/reid/utils/data/preprocessor.py:25-31):
+    RectScale (host) → RandomSizedEarser (random RGB fill) → flip → normalize."""
+    ke, kf, kc = jax.random.split(key, 3)
+    x = to_float(img_u8)
+    fill = jax.random.uniform(kc, (x.shape[0], 1, 1, 3))
+    x = random_erasing(ke, x, p=0.5, sl=0.02, sh=0.2, r1=0.3, fill=fill)
+    x, _ = random_hflip(kf, x)
+    return normalize(x)
+
+
+class SiameseTrainer:
+    """Stage-I supervised verification baseline."""
+
+    def __init__(self, model, lr=0.01, momentum=0.9, weight_decay=5e-4,
+                 step_size=40, iters_per_epoch=None):
+        self.model = model
+        self.base_lr = lr
+        self.step_size = step_size
+        self.tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.sgd(learning_rate, momentum=momentum)))(learning_rate=lr)
+
+        def step_fn(state, img1, img2, targets, key):
+            k1, k2 = jax.random.split(key)
+            x1 = fd_train_augment(k1, img1)
+            x2 = fd_train_augment(k2, img2)
+
+            def loss_fn(params):
+                (f1, f2, logits), mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x1, x2, train=True, mutable=["batch_stats"])
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, targets).mean()
+                return loss, (mut["batch_stats"], logits)
+
+            (loss, (bs, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            return SiameseTrainState(params, bs, opt_state, state.step + 1), \
+                loss, logits
+
+        self._step = jax.jit(step_fn, donate_argnums=(0,))
+
+    def init_state(self, variables):
+        return SiameseTrainState(variables["params"], variables["batch_stats"],
+                                 self.tx.init(variables["params"]),
+                                 jnp.zeros((), jnp.int32))
+
+    def adjust_lr(self, state, epoch):
+        """lr = base · 0.1^(epoch // step_size) (FD/baseline.py:135-139)."""
+        lr = self.base_lr * 0.1 ** (epoch // self.step_size)
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        return state
+
+    def train(self, state, epoch, data_loader, print_freq=1, base_seed=0):
+        batch_time, data_time = AverageMeter(), AverageMeter()
+        losses, precisions = AverageMeter(), AverageMeter()
+        end = time.time()
+        state = self.adjust_lr(state, epoch)
+        for i, (b1, b2) in enumerate(data_loader):
+            data_time.update(time.time() - end)
+            targets = (b1["pid"] == b2["pid"]).astype(np.int32)
+            key = jax.random.PRNGKey(base_seed * 131071 + epoch * 8191 + i)
+            state, loss, logits = self._step(
+                state, jnp.asarray(b1["img"]), jnp.asarray(b2["img"]),
+                jnp.asarray(targets), key)
+            prec, = accuracy(np.asarray(logits), targets)
+            n = len(targets)
+            losses.update(float(loss), n)
+            precisions.update(prec, n)
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if (i + 1) % print_freq == 0:
+                print(f"Epoch: [{epoch}][{i + 1}]\t"
+                      f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                      f"Data {data_time.val:.3f} ({data_time.avg:.3f})\t"
+                      f"Loss {losses.val:.3f} ({losses.avg:.3f})\t"
+                      f"Prec {precisions.val:.2%} ({precisions.avg:.2%})")
+        return state, losses.avg
+
+
+def fd_evaluate_all(distmat, query=None, gallery=None, cmc_topk=(1, 5, 10),
+                    dataset=None, top1=True):
+    """3-config CMC table (FD/reid/evaluators.py:101-181)."""
+    query_ids = [pid for _, pid, _ in query]
+    gallery_ids = [pid for _, pid, _ in gallery]
+    query_cams = [cam for _, _, cam in query]
+    gallery_cams = [cam for _, _, cam in gallery]
+    mAP = mean_ap(distmat, query_ids, gallery_ids, query_cams, gallery_cams)
+    print("Mean AP: {:4.1%}".format(mAP))
+    if not top1:
+        return mAP
+    if not dataset:
+        configs = {
+            "allshots": dict(separate_camera_set=False,
+                             single_gallery_shot=False, first_match_break=False),
+            "cuhk03": dict(separate_camera_set=True,
+                           single_gallery_shot=True, first_match_break=False),
+            "market1501": dict(separate_camera_set=False,
+                               single_gallery_shot=False, first_match_break=True),
+        }
+    elif dataset == "cuhk03":
+        configs = {"cuhk03": dict(separate_camera_set=True,
+                                  single_gallery_shot=True,
+                                  first_match_break=False)}
+    else:
+        configs = {"market1501": dict(separate_camera_set=False,
+                                      single_gallery_shot=False,
+                                      first_match_break=True)}
+    scores = {name: cmc(distmat, query_ids, gallery_ids, query_cams,
+                        gallery_cams, seed=0, **params)
+              for name, params in configs.items()}
+    names = list(configs)
+    print("CMC Scores" + "".join(f"{n:>12}" for n in names))
+    for k in cmc_topk:
+        print("  top-{:<4}".format(k) +
+              "".join(f"{scores[n][k - 1]:12.1%}" for n in names))
+    if not dataset:
+        return scores["allshots"][0]
+    return scores[names[0]][0], mAP
+
+
+class CascadeEvaluator:
+    """Two-stage evaluation (FD/reid/evaluators.py:183-228)."""
+
+    def __init__(self, extractor, embed_model, embed_params,
+                 embed_batch_stats, embed_dist_fn="softmax0"):
+        self.extractor = extractor
+        self.embed_model = embed_model
+        self.embed_vars = {"params": embed_params,
+                           "batch_stats": embed_batch_stats}
+        self.embed_dist_fn = embed_dist_fn
+
+        @jax.jit
+        def _embed(variables, probe, gallery):
+            logits = embed_model.apply(variables, probe, gallery, train=False)
+            if embed_dist_fn == "softmax0":
+                return jax.nn.softmax(logits, axis=1)[:, 0]
+            return logits[:, 0]
+
+        self._embed = _embed
+
+    def evaluate(self, data_loader, query, gallery, rerank_topk=75,
+                 second_stage=True, dataset=None, top1=True):
+        features, _ = _extract(self.extractor, data_loader, print_freq=1 << 30)
+        from .evaluators import pairwise_distance
+
+        distmat, qf, gf = pairwise_distance(features, query, gallery)
+        print("First stage evaluation:")
+        if second_stage:
+            fd_evaluate_all(distmat, query=query, gallery=gallery,
+                            dataset=dataset, top1=top1)
+            rank_indices = np.argsort(distmat, axis=1)
+            m = len(query)
+            topk_idx = rank_indices[:, :rerank_topk]               # (m, k)
+            probe = np.repeat(qf, rerank_topk, axis=0)             # (m·k, D)
+            gal = gf[topk_idx.reshape(-1)]                         # (m·k, D)
+            scores = np.asarray(self._embed(self.embed_vars,
+                                            jnp.asarray(probe),
+                                            jnp.asarray(gal)))
+            scores = scores.reshape(m, rerank_topk)
+            # merge: replace top-k with verifier distance, push tail beyond gap
+            # (evaluators.py:219-226)
+            for i in range(m):
+                distmat[i, topk_idx[i]] = scores[i]
+                bar = distmat[i][rank_indices[i, :rerank_topk]].max()
+                gap = max(bar + 1.0 - distmat[i, rank_indices[i, rerank_topk]], 0)
+                if gap > 0:
+                    distmat[i][rank_indices[i, rerank_topk:]] += gap
+            print("Second stage evaluation:")
+        return fd_evaluate_all(distmat, query=query, gallery=gallery,
+                               dataset=dataset, top1=top1)

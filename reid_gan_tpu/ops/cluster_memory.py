@@ -1,0 +1,158 @@
+"""ClusterMemory — the cluster-contrast InfoNCE memory bank, reformulated as
+pure state-in/state-out functions.
+
+Reference (CC/clustercontrast/models/cm.py): custom autograd.Functions whose
+*backward* both propagates the input gradient and mutates the memory bank
+in-place (cm.py:29-31). That side-effecting design is single-process-only
+(SURVEY.md §5.2). The mathematically identical TPU formulation:
+
+    logits = x_n @ stop_gradient(M)ᵀ / temp        (forward; cm.py:17,134)
+    loss   = CE(logits, y), reduction='none'       (cm.py:135)
+    M'     = momentum_update(M, x_n, y)            (applied after the step)
+
+— identical because the reference's backward never differentiates through the
+bank. In-batch duplicate labels update **sequentially in batch order** in the
+reference loop; we replicate that exactly with a `lax.scan` fold (bit-stable
+under any sharding because the update runs replicated over the all-gathered
+batch).
+
+The bank is padded to a static ``num_clusters`` (pad-and-mask, SURVEY.md §7
+'ragged shapes') so cluster-count changes between epochs don't retrace.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MemoryState(NamedTuple):
+    features: jnp.ndarray      # (K_pad, D) centroid bank
+    gan_features: jnp.ndarray  # (K_pad, D) parallel GAN bank (CM_gan) or ()
+    num_valid: jnp.ndarray     # scalar int32 — live clusters ≤ K_pad
+
+
+def init_memory(centroids, k_pad=None, gan_centroids=None):
+    """Build a MemoryState from per-epoch centroids (already L2-normalized as
+    in CC/examples/...usl.py:169-184), zero-padded to k_pad rows."""
+    c = jnp.asarray(centroids, jnp.float32)
+    k = c.shape[0]
+    k_pad = k_pad or k
+    pad = ((0, k_pad - k), (0, 0))
+    feats = jnp.pad(c, pad)
+    if gan_centroids is not None:
+        g = jnp.pad(jnp.asarray(gan_centroids, jnp.float32), pad)
+    else:
+        g = jnp.zeros((0, c.shape[1]), jnp.float32)
+    return MemoryState(feats, g, jnp.asarray(k, jnp.int32))
+
+
+def _l2n(x, eps=1e-12):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
+def memory_loss(x, targets, state, temp=0.05, ex_f=None, group_size=1):
+    """Per-sample InfoNCE against the (stop-gradient) bank
+    (cm.py:123-137). Gradient flows only to ``x``.
+
+    ex_f: optional (T, D) extended synthetic negatives appended to the logits
+    with the −10000·I repeat-interleave self-mask of
+    ClusterMemory_Gradient.forward (cm.py:158-182).
+    Returns (per-sample loss (B,), logits (B, K_pad[+T])).
+    """
+    x = _l2n(x)
+    bank = jax.lax.stop_gradient(state.features)
+    logits = jnp.dot(x, bank.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    k_pad = bank.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+    logits = jnp.where(col < state.num_valid, logits, -jnp.inf)
+    if ex_f is not None:
+        ex = _l2n(ex_f)
+        t = ex.shape[0]
+        lex = jnp.dot(x, ex.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        # mask each sample's own synthetic source: −10000·I repeated per group
+        row = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], t), 0) // group_size
+        colx = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], t), 1)
+        lex = lex + jnp.where(row == colx, -10000.0, 0.0)
+        logits = jnp.concatenate([logits, lex], axis=1)
+    logits = logits / temp
+    logz = jax.scipy.special.logsumexp(logits, axis=1)
+    picked = jnp.take_along_axis(logits, targets[:, None], axis=1)[:, 0]
+    loss = logz - picked
+    return loss, logits
+
+
+def update_memory(state, x, targets, momentum=0.2, use_hard=False,
+                  gan_x=None):
+    """Momentum bank update, applied AFTER the gradient step.
+
+    - plain CM (cm.py:29-31): sequential per-sample fold
+      ``M[y] ← normalize(m·M[y] + (1−m)·x)`` in batch order.
+    - CM_Hard (cm.py:58-70): per cluster, the batch sample with MIN similarity
+      to the current centroid updates once.
+    - CM_gan (cm.py:99-103): plain update of both feature and GAN banks.
+    """
+    x = _l2n(jax.lax.stop_gradient(x))
+    if use_hard:
+        return _update_hard(state, x, targets, momentum)
+    feats = _sequential_fold(state.features, x, targets, momentum)
+    gan_feats = state.gan_features
+    if gan_x is not None and state.gan_features.shape[0] > 0:
+        gan_feats = _sequential_fold(state.gan_features,
+                                     jax.lax.stop_gradient(gan_x), targets, momentum)
+    return state._replace(features=feats, gan_features=gan_feats)
+
+
+def _sequential_fold(bank, x, targets, momentum):
+    def body(feats, inp):
+        xi, yi = inp
+        row = feats[yi]
+        row = momentum * row + (1.0 - momentum) * xi
+        row = row * jax.lax.rsqrt(jnp.sum(row * row) + 1e-24)
+        return feats.at[yi].set(row), None
+
+    bank, _ = jax.lax.scan(body, bank, (x, targets))
+    return bank
+
+
+def _update_hard(state, x, targets, momentum):
+    """Vectorized CM_Hard: choose per cluster the batch sample with minimum
+    dot-product to the PRE-update centroid, first-in-batch tie-break (matches
+    the np.argmin over the batch-ordered list at cm.py:58-70)."""
+    k_pad = state.features.shape[0]
+    b = x.shape[0]
+    sims = jnp.sum(x * state.features[targets], axis=-1)  # (B,)
+
+    def body(carry, inp):
+        best_sim, best_idx = carry
+        i, yi, si = inp
+        better = si < best_sim[yi]
+        best_sim = best_sim.at[yi].set(jnp.where(better, si, best_sim[yi]))
+        best_idx = best_idx.at[yi].set(jnp.where(better, i, best_idx[yi]))
+        return (best_sim, best_idx), None
+
+    init = (jnp.full((k_pad,), jnp.inf, jnp.float32),
+            jnp.full((k_pad,), -1, jnp.int32))
+    idxs = jnp.arange(b, dtype=jnp.int32)
+    (best_sim, best_idx), _ = jax.lax.scan(body, init, (idxs, targets, sims))
+
+    touched = best_idx >= 0
+    hard_x = x[jnp.clip(best_idx, 0, b - 1)]                   # (K_pad, D)
+    upd = momentum * state.features + (1.0 - momentum) * hard_x
+    upd = upd * jax.lax.rsqrt(jnp.sum(upd * upd, axis=-1, keepdims=True) + 1e-24)
+    feats = jnp.where(touched[:, None], upd, state.features)
+    return state._replace(features=feats)
+
+
+@partial(jax.jit, static_argnames=("temp", "momentum", "use_hard"))
+def memory_step(x, targets, state, temp=0.05, momentum=0.2, use_hard=False,
+                gan_x=None):
+    """Convenience: loss (per-sample) + post-step bank update in one call.
+    NOTE: for training, call memory_loss inside your grad fn and
+    update_memory outside — the update must not be differentiated."""
+    loss, _ = memory_loss(x, targets, state, temp)
+    new_state = update_memory(state, x, targets, momentum, use_hard, gan_x)
+    return loss, new_state
