@@ -14,9 +14,17 @@ built; the numpy path is the reference implementation.
 import numpy as np
 
 
-def dbscan(dist, eps, min_samples=4):
+def dbscan(dist, eps, min_samples=4, native="auto"):
     """dist: (N, N) symmetric distance matrix (host array). Returns labels
-    (N,) int32, −1 = noise."""
+    (N,) int32, −1 = noise. native='auto' uses the C++ kernel when built."""
+    if native in ("auto", True):
+        try:
+            from ..native import dbscan_native
+
+            return dbscan_native(dist, eps, min_samples)
+        except Exception:
+            if native is True:
+                raise
     dist = np.asarray(dist)
     n = dist.shape[0]
     neighbors = dist <= eps          # boolean adjacency, self included

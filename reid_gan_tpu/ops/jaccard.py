@@ -42,11 +42,21 @@ def _query_expand(V, initial_rank, k2):
     return V[initial_rank[:, :k2]].mean(axis=1)
 
 
-def _min_sum_jaccard(V, query_num=None):
+def _min_sum_jaccard(V, query_num=None, native="auto"):
     """Jaccard distance from the sparse soft-assignment matrix V:
     jac[i, :] = 1 − Σ_j min(V[i,j], V[:,j]) / (2 − Σ_j min(...)), summing over
     the nonzero columns of row i (faiss_rerank.py:98-115, rerank.py:80-90).
+
+    Dispatches to the threaded C++ kernel when built (reid_gan_tpu/native).
     """
+    if native in ("auto", True):
+        try:
+            from ..native import jaccard_minsum_native
+
+            return jaccard_minsum_native(np.asarray(V, np.float32), query_num)
+        except Exception:
+            if native is True:
+                raise
     n = V.shape[0]
     m = n if query_num is None else query_num
     jaccard = np.zeros((m, n), V.dtype)
