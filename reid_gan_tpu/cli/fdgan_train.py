@@ -20,6 +20,7 @@ from ..data.sampler import RandomPairSampler
 from ..models.fdgan.model import FDGANModel
 from ..utils import AverageMeter, Logger
 from ..utils.serialization import load_networks, save_networks
+from ..utils.visualizer import Visualizer
 
 
 def main(argv=None):
@@ -30,7 +31,8 @@ def main(argv=None):
     dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)
     h, w = cfg.data.height, cfg.data.width
 
-    model = FDGANModel(cfg.fdgan, height=h, width=w)
+    model = FDGANModel(cfg.fdgan, height=h, width=w,
+                       depth=18 if cfg.train.debug else 50)
     state = model.init_state(jax.random.PRNGKey(cfg.train.seed))
     save_dir = osp.join(cfg.gan.save_dir, cfg.gan.name)
     if cfg.gan.continue_train:
@@ -42,6 +44,7 @@ def main(argv=None):
     pre = Preprocessor(list(dataset.train), mode="fdgan_pose", height=h, width=w,
                        pid_imgs=dataset.pid_imgs, pose_root=pose_root,
                        seed=cfg.train.seed)
+    visualizer = Visualizer(cfg.train.logs_dir, name=cfg.gan.name)
 
     epochs = 1 if cfg.train.debug else cfg.fdgan.niter + cfg.fdgan.niter_decay
     for epoch in range(epochs):
@@ -64,6 +67,12 @@ def main(argv=None):
                 print(f"Epoch {epoch} [{i + 1}]  {msg}  "
                       f"({time.time() - t0:.1f}s)")
         print(f"End of epoch {epoch} \t Time Taken: {time.time() - t0:.0f} sec")
+        # visuals: input / fake / target grid (FD/fdgan/model.py:241-248)
+        visualizer.display_current_results(
+            {"fake": np.asarray(_fake[0])}, epoch)
+        visualizer.print_current_errors(epoch, i + 1, errors=
+                                        {k: m.avg for k, m in meters.items()},
+                                        t=time.time() - t0)
         if (epoch + 1) % cfg.fdgan.save_step == 0 or epoch == epochs - 1:
             save_networks({"E": state.E, "G": state.G, "Di": state.Di,
                            "Dp": state.Dp}, save_dir, "latest")

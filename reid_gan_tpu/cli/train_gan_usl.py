@@ -1,0 +1,201 @@
+"""Joint GAN + unsupervised re-ID training CLI — the reference flagship
+(parity: CC/examples/cluster_contrast_gan_train_usl_infomap.py).
+
+Per epoch: infomap/dbscan pseudo-labels → memory → dispatch on flags
+(warmup_epo → train_reid; gan_train → train_all; else train) → eval +
+checkpoints → GAN save/lr/visuals (:440-520).
+
+    python -m reid_gan_tpu.cli.train_gan_usl --dataset market1501 \
+        --data-dir ./data --model AE --model-gen Pose --cluster-backend infomap
+"""
+
+import os.path as osp
+import sys
+import time
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import dump_config, parse_config
+from ..data import IterLoader
+from ..data.datasets import create as create_dataset
+from ..data.loader import DataLoader, Preprocessor
+from ..engine.evaluators import Evaluator, FeatureExtractor
+from ..engine.gan_trainers import ClusterContrastWithGANTrainer
+from ..engine.trainers import ClusterContrastTrainer  # noqa: F401 (API parity)
+from ..engine.usl import cluster_epoch, make_train_loader
+from ..models import create as create_model
+from ..models.dual_gan.models import create_model as create_gan
+from ..ops.transforms import gan_input_transform
+from ..utils import Logger
+from ..utils.serialization import load_checkpoint, save_checkpoint, save_networks
+from ..utils.visualizer import Visualizer
+
+
+def compute_conf_weight(gan, gan_state, pseudo_dataset, memory, cfg,
+                        labels_by_index):
+    """GAN-reconstruction confidence weights: render each sample from its
+    cluster centroid, block the top (N / num_instances) worst-reconstructed
+    samples (parity: ...infomap.py:384-428)."""
+    pre = Preprocessor(pseudo_dataset, mode="only_gan",
+                       gan_height=cfg.data.gan_height,
+                       gan_width=cfg.data.gan_width,
+                       pose_file=None)
+    loader = DataLoader(pre, batch_size=cfg.data.batch_size, drop_last=False,
+                        num_workers=cfg.data.workers)
+    n = len(pseudo_dataset)
+    rec = np.zeros(n, np.float32)
+    t0 = time.time()
+    for batch in loader:
+        xs = gan_input_transform(jnp.asarray(batch["Xs"]),
+                                 cfg.data.gan_height, cfg.data.gan_width)
+        pids = np.asarray(batch["pid"])
+        feats = memory.features[jnp.asarray(pids)]
+        if gan.model_gen == "Pose":
+            h8, w8 = cfg.data.gan_height // 8, cfg.data.gan_width // 8
+            fmap = jnp.broadcast_to(feats[:, None, None, :],
+                                    (feats.shape[0], h8, w8, feats.shape[1]))
+            ps = jnp.zeros((xs.shape[0], cfg.data.gan_height,
+                            cfg.data.gan_width, cfg.gan.pose_channels))
+            fake = gan.synthesize_p(gan_state.G, fmap, ps)
+        else:
+            fake = gan.apply_G(gan_state.G, xs)
+        loss = gan.get_L1_loss(gan_state.D, fake, xs)
+        rec[np.asarray(batch["index"])] = np.asarray(loss)
+    conf = np.ones(n, np.float32)
+    block_num = n // cfg.data.num_instances
+    blocked = np.argsort(-rec)[:block_num]
+    conf[blocked] = 0.0
+    print(f"calculate confidence weight cost time: {time.time() - t0:.1f}")
+    return conf
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
+    dump_config(cfg, cfg.train.logs_dir)
+
+    dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)
+    pose_file = getattr(dataset, "train_pose_dir", None)
+
+    feat_dim = 512 if any(d in cfg.model.arch for d in ("18", "34")) else 2048
+    gan = create_gan(cfg.gan, gan_height=cfg.data.gan_height,
+                     gan_width=cfg.data.gan_width, reid_feat_dim=feat_dim)
+    gan_state = gan.init_state(jax.random.PRNGKey(cfg.train.seed))
+
+    encoder = create_model(cfg.model.arch, norm=cfg.model.norm,
+                           pooling_type=cfg.model.pooling_type)
+    dummy = jnp.zeros((2, cfg.data.height, cfg.data.width, 3))
+    enc_vars = encoder.init(jax.random.PRNGKey(cfg.train.seed), dummy,
+                            train=True)
+    if cfg.train.resume:
+        enc_vars = load_checkpoint(cfg.train.resume, target=enc_vars)
+
+    extractor = FeatureExtractor(encoder, {"params": enc_vars["params"],
+                                           "batch_stats": enc_vars["batch_stats"]},
+                                 height=cfg.data.height, width=cfg.data.width,
+                                 batch_size=cfg.data.batch_size)
+    evaluator = Evaluator(extractor)
+    test_pre = Preprocessor(list(dataset.query) + list(dataset.gallery),
+                            mode="reid", height=cfg.data.height,
+                            width=cfg.data.width)
+    test_loader = DataLoader(test_pre, batch_size=cfg.data.batch_size,
+                             drop_last=False, num_workers=cfg.data.workers)
+
+    trainer = ClusterContrastWithGANTrainer(
+        encoder, gan, height=cfg.data.height, width=cfg.data.width,
+        temp=cfg.cluster.temp, momentum=cfg.cluster.momentum,
+        use_hard=cfg.cluster.use_hard, lr=cfg.optim.lr,
+        weight_decay=cfg.optim.weight_decay, step_size=cfg.optim.step_size,
+        iters_per_epoch=cfg.train.iters, num_instances=cfg.data.num_instances,
+        cl_temp=cfg.gan.cf_temp)
+    visualizer = Visualizer(cfg.train.logs_dir, name=cfg.gan.name)
+    save_dir = osp.join(cfg.gan.save_dir, cfg.gan.name)
+
+    epochs = 1 if cfg.train.debug else cfg.train.epochs
+    iters = 8 if cfg.train.debug else cfg.train.iters
+    state = None
+    best_map = 0.0
+    k_pad = cfg.cluster.max_clusters or None
+
+    for epoch in range(epochs):
+        variables = ({"params": enc_vars["params"],
+                      "batch_stats": enc_vars["batch_stats"]} if state is None
+                     else {"params": state.enc_params,
+                           "batch_stats": state.enc_batch_stats})
+        extractor.variables = variables
+        memory, pseudo_dataset, num_clusters = cluster_epoch(
+            extractor, dataset, list(dataset.train), cfg, k_pad=k_pad,
+            backend=cfg.cluster.cluster_backend)
+        k_pad = memory.features.shape[0]
+
+        if state is None:
+            state = trainer.init_state(variables, gan_state, memory)
+        else:
+            state = trainer.set_memory(state, memory)
+
+        conf_weight = None
+        if cfg.gan.cluster_with_gan_features and epoch > cfg.gan.warmup_epo:
+            conf_weight = compute_conf_weight(gan, state.gan, pseudo_dataset,
+                                              memory, cfg, None)
+
+        mode = "train_reid"
+        pre_kw = {}
+        loader_mode = "reid"
+        if (epoch + 1) > cfg.gan.warmup_epo:
+            if cfg.gan.gan_train:
+                mode = "train_all"
+                loader_mode = "with_gan"
+                pre_kw = {"gan_height": cfg.data.gan_height,
+                          "gan_width": cfg.data.gan_width,
+                          "pose_file": pose_file, "flip_all": True}
+            else:
+                mode = "train"
+                loader_mode = "with_gan"
+                pre_kw = {"gan_height": cfg.data.gan_height,
+                          "gan_width": cfg.data.gan_width,
+                          "pose_file": pose_file, "flip_all": True}
+        loader = make_train_loader(pseudo_dataset, cfg.data.height,
+                                   cfg.data.width, cfg.data.batch_size,
+                                   cfg.data.num_instances,
+                                   workers=cfg.data.workers, iters=iters,
+                                   seed=cfg.train.seed + epoch,
+                                   mode=loader_mode, **pre_kw)
+        state, errs = trainer.run_epoch(state, epoch, loader, mode=mode,
+                                        train_iters=iters,
+                                        print_freq=cfg.train.print_freq,
+                                        base_seed=cfg.train.seed,
+                                        conf_weight=conf_weight)
+
+        if (epoch + 1) % cfg.train.eval_step == 0 or epoch == epochs - 1:
+            extractor.variables = {"params": state.enc_params,
+                                   "batch_stats": state.enc_batch_stats}
+            mAP = evaluator.evaluate(test_loader, dataset.query,
+                                     dataset.gallery, cmc_flag=False)
+            is_best = mAP > best_map
+            best_map = max(mAP, best_map)
+            save_checkpoint({"params": state.enc_params,
+                             "batch_stats": state.enc_batch_stats,
+                             "epoch": epoch + 1, "best_mAP": best_map},
+                            is_best,
+                            osp.join(cfg.train.logs_dir, "checkpoint.msgpack"))
+            print(f"\n * Finished epoch {epoch:3d}  model mAP: {mAP:5.1%} "
+                  f" best: {best_map:5.1%}{' *' if is_best else ''}\n")
+
+        if (epoch + 1) > cfg.gan.warmup_epo and cfg.gan.gan_train:
+            save_networks({"G": state.gan.G, "D": state.gan.D}, save_dir,
+                          "latest")
+            # LambdaLR linear decay after niter epochs
+            niter = max(1, epochs // 2)
+            mult = 1.0 - max(0, epoch + 2 - niter) / float(epochs - niter + 1)
+            gan.set_epoch_lr(state.gan, max(mult, 0.0))
+            visualizer.print_current_errors(epoch, iters, errs)
+
+    print("==> Training finished; best mAP {:5.1%}".format(best_map))
+    return best_map
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,298 @@
+"""Joint GAN + re-ID trainers.
+
+Parity:
+- ClusterContrastWithGANTrainer.train — hard-mix synthetic negatives
+  re-encoded in eval mode feeding the memory's extended logits
+  (CC/clustercontrast/trainers.py:52-98)
+- .train_all — joint backward of loss_cl(+conf weights) + loss_G with the
+  interleaved D step (CC/clustercontrast/trainers_b.py:617-814, the intended
+  full implementation per SURVEY.md C7)
+- .train_reid — memory-only warmup (trainers_b.py:1087-1138)
+- GANTrainer.train_gan — standalone GAN pretraining
+  (CC/clustercontrast/trainers.py:273-335)
+
+Each mode is one jitted program: augmentation → encoder → GAN synthesis →
+D step → joint G+encoder update → memory bank update.
+"""
+
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.cluster_memory import MemoryState, memory_loss, update_memory
+from ..ops.transforms import diff_transform, gan_input_transform, reid_augment
+from ..utils import AverageMeter
+from .trainers import make_optimizer
+
+
+class JointState(NamedTuple):
+    enc_params: Any
+    enc_batch_stats: Any
+    enc_opt: Any
+    gan: Any                 # AEState
+    memory: MemoryState
+    step: jnp.ndarray
+
+
+class ClusterContrastWithGANTrainer:
+    def __init__(self, encoder, gan, height=256, width=128, temp=0.05,
+                 momentum=0.2, use_hard=False, lr=3.5e-4, weight_decay=5e-4,
+                 step_size=20, iters_per_epoch=400, num_instances=16,
+                 cl_temp=0.05):
+        self.encoder = encoder
+        self.gan = gan                      # AEModel engine
+        self.temp = temp
+        self.momentum = momentum
+        self.use_hard = use_hard
+        self.group_size = num_instances
+        self.cl_temp = cl_temp
+        self.h, self.w = height, width
+        self.tx = make_optimizer(lr, weight_decay, step_size, iters_per_epoch)
+        self._steps = {}
+
+    def init_state(self, enc_variables, gan_state, memory):
+        return JointState(
+            enc_params=enc_variables["params"],
+            enc_batch_stats=enc_variables["batch_stats"],
+            enc_opt=self.tx.init(enc_variables["params"]),
+            gan=gan_state, memory=memory,
+            step=jnp.zeros((), jnp.int32))
+
+    def set_memory(self, state, memory):
+        return state._replace(memory=memory)
+
+    # ------------------------------------------------------------- enc fwd
+    def _enc(self, params, batch_stats, x, train):
+        out = self.encoder.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=train,
+            mutable=["batch_stats"] if train else False,
+            **({} if train else {"test_all": True}))
+        if train:
+            out, mut = out
+            return out["feat"], out["gan_feat"], mut["batch_stats"]
+        return out["feat"], out["gan_feat"], batch_stats
+
+    # --------------------------------------------------------------- modes
+    def _make_train_step(self):
+        """'train' mode: GAN frozen, hard-mix synthesis extends the negatives
+        (trainers.py:52-98)."""
+        gan = self.gan
+        group_size = self.group_size
+
+        def step(state, batch, key):
+            k_aug, k_g = jax.random.split(key)
+            x = reid_augment(k_aug, batch["img"], height=self.h, width=self.w,
+                             train=True)
+            targets = batch["pid"]
+            xs = gan_input_transform(batch["Xs"], self.gan.h, self.gan.w)
+
+            def loss_fn(params):
+                f_out, _, bs = self._enc(params, state.enc_batch_stats, x, True)
+                fc_image = gan.synthesize_fc(
+                    state.gan.G, xs, jax.lax.stop_gradient(f_out), group_size)
+                # re-encode generated images in eval mode (trainers.py:66-70)
+                f_ex, _, _ = self._enc(params, bs,
+                                       diff_transform(fc_image, self.h, self.w),
+                                       False)
+                losses, _ = memory_loss(f_out, targets, state.memory,
+                                        temp=self.temp,
+                                        ex_f=jax.lax.stop_gradient(f_ex),
+                                        group_size=group_size)
+                return losses.mean(), (bs, f_out)
+
+            (loss, (bs, f_out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.enc_params)
+            updates, enc_opt = self.tx.update(grads, state.enc_opt,
+                                              state.enc_params)
+            params = optax.apply_updates(state.enc_params, updates)
+            memory = update_memory(state.memory, f_out, targets,
+                                   self.momentum, self.use_hard)
+            new = state._replace(enc_params=params, enc_batch_stats=bs,
+                                 enc_opt=enc_opt, memory=memory,
+                                 step=state.step + 1)
+            return new, {"loss": loss}
+
+        return step
+
+    def _make_train_all_step(self):
+        """'train_all' mode: joint (loss_cl·conf + loss_G) backward with the
+        interleaved D step (trainers_b.py:617-814)."""
+        gan = self.gan
+
+        def step(state, batch, key, conf_mask):
+            k_aug, k_d, k_g = jax.random.split(key, 3)
+            x = reid_augment(k_aug, batch["img"], height=self.h, width=self.w,
+                             train=True)
+            targets = batch["pid"]
+            xs = gan_input_transform(batch["Xs"], self.gan.h, self.gan.w)
+            ps = batch["Ps"]
+
+            # forward encoder once (no grad) to get the GAN conditioning map
+            _, f_gan0, _ = self._enc(state.enc_params, state.enc_batch_stats,
+                                     x, True)
+            f_gan0 = jax.lax.stop_gradient(f_gan0)
+            fake0 = gan.synthesize_p(state.gan.G, f_gan0, ps)
+            fake0 = jax.lax.stop_gradient(fake0)
+
+            # --- D step (trainers_b.py:764-767)
+            def d_loss_fn(d_params):
+                return gan.d_loss(d_params, state.gan.D["batch_stats"], xs,
+                                  fake0, k_d)
+
+            (loss_D, d_bs), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.gan.D["params"])
+            d_updates, opt_D = gan.tx_D.update(d_grads, state.gan.opt_D,
+                                               state.gan.D["params"])
+            d_params = optax.apply_updates(state.gan.D["params"], d_updates)
+            D_new = {"params": d_params, "batch_stats": d_bs}
+
+            # --- joint G + encoder step (trainers_b.py:769-774)
+            def joint_loss_fn(packed):
+                enc_params, g_params = packed
+                f_out, f_gan, bs = self._enc(enc_params,
+                                             state.enc_batch_stats, x, True)
+                G = {"params": g_params,
+                     "batch_stats": state.gan.G["batch_stats"]}
+                fake = gan.synthesize_p(G, jax.lax.stop_gradient(f_gan), ps)
+                loss_G = gan.get_loss_G(D_new, fake, xs)
+                losses_cl, _ = memory_loss(f_out, targets, state.memory,
+                                           temp=self.temp)
+                loss_cl = (losses_cl * conf_mask).mean()
+                return loss_cl + loss_G, (bs, f_out, loss_cl, loss_G)
+
+            (loss, (bs, f_out, loss_cl, loss_G)), grads = jax.value_and_grad(
+                joint_loss_fn, has_aux=True)(
+                    (state.enc_params, state.gan.G["params"]))
+            enc_grads, g_grads = grads
+            enc_updates, enc_opt = self.tx.update(enc_grads, state.enc_opt,
+                                                  state.enc_params)
+            enc_params = optax.apply_updates(state.enc_params, enc_updates)
+            g_updates, opt_G = gan.tx_G.update(g_grads, state.gan.opt_G,
+                                               state.gan.G["params"])
+            g_params = optax.apply_updates(state.gan.G["params"], g_updates)
+
+            memory = update_memory(state.memory, f_out, targets,
+                                   self.momentum, self.use_hard)
+            gan_state = state.gan._replace(
+                G={"params": g_params, "batch_stats": state.gan.G["batch_stats"]},
+                D=D_new, opt_G=opt_G, opt_D=opt_D, step=state.gan.step + 1)
+            new = state._replace(enc_params=enc_params, enc_batch_stats=bs,
+                                 enc_opt=enc_opt, gan=gan_state, memory=memory,
+                                 step=state.step + 1)
+            return new, {"loss": loss, "loss_cl": loss_cl, "G": loss_G,
+                         "D": loss_D}
+
+        return step
+
+    def _make_train_reid_step(self):
+        """'train_reid' warmup: memory loss only (trainers_b.py:1087-1138)."""
+
+        def step(state, batch, key):
+            x = reid_augment(key, batch["img"], height=self.h, width=self.w,
+                             train=True)
+            targets = batch["pid"]
+
+            def loss_fn(params):
+                f_out, _, bs = self._enc(params, state.enc_batch_stats, x, True)
+                losses, _ = memory_loss(f_out, targets, state.memory,
+                                        temp=self.temp)
+                return losses.mean(), (bs, f_out)
+
+            (loss, (bs, f_out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.enc_params)
+            updates, enc_opt = self.tx.update(grads, state.enc_opt,
+                                              state.enc_params)
+            params = optax.apply_updates(state.enc_params, updates)
+            memory = update_memory(state.memory, f_out, targets,
+                                   self.momentum, self.use_hard)
+            new = state._replace(enc_params=params, enc_batch_stats=bs,
+                                 enc_opt=enc_opt, memory=memory,
+                                 step=state.step + 1)
+            return new, {"loss": loss}
+
+        return step
+
+    def _get_step(self, mode):
+        if mode not in self._steps:
+            maker = {"train": self._make_train_step,
+                     "train_all": self._make_train_all_step,
+                     "train_reid": self._make_train_reid_step}[mode]
+            donate = (0,)
+            self._steps[mode] = jax.jit(maker(), donate_argnums=donate)
+        return self._steps[mode]
+
+    def run_epoch(self, state, epoch, data_loader, mode="train_all",
+                  train_iters=400, print_freq=10, base_seed=0,
+                  conf_weight=None):
+        """Drive one epoch in the given mode. ``conf_weight``: optional
+        (N_dataset,) host array of per-sample confidence weights
+        (trainers_b.py:719-722)."""
+        step = self._get_step(mode)
+        meters = {}
+        batch_time, data_time = AverageMeter(), AverageMeter()
+        end = time.time()
+        for i in range(train_iters):
+            batch = data_loader.next()
+            data_time.update(time.time() - end)
+            dev = {"img": jnp.asarray(batch["img"]),
+                   "pid": jnp.asarray(batch["pid"], jnp.int32)}
+            if "Xs" in batch:
+                dev["Xs"] = jnp.asarray(batch["Xs"])
+            if "keypoints" in batch and mode == "train_all":
+                from ..ops.pose import cords_to_map
+
+                pm = jax.vmap(lambda c, o: cords_to_map(
+                    c, o, self.gan.h, self.gan.w))(
+                        jnp.asarray(batch["keypoints"], jnp.float32),
+                        jnp.asarray(batch["old_size"], jnp.float32))
+                dev["Ps"] = jnp.transpose(pm, (0, 2, 3, 1))
+            key = jax.random.PRNGKey(base_seed + epoch * train_iters + i)
+            if mode == "train_all":
+                if conf_weight is not None:
+                    cm = jnp.asarray(conf_weight[np.asarray(batch["index"])],
+                                     jnp.float32)
+                else:
+                    cm = jnp.ones(len(batch["pid"]), jnp.float32)
+                state, errs = step(state, dev, key, cm)
+            else:
+                state, errs = step(state, dev, key)
+            for k, v in errs.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if (i + 1) % print_freq == 0:
+                msg = "\t".join(f"{k} {m.val:.3f} ({m.avg:.3f})"
+                                for k, m in meters.items())
+                print(f"Epoch: [{epoch}][{i + 1}/{train_iters}]\t"
+                      f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                      f"Data {data_time.val:.3f} ({data_time.avg:.3f})\t{msg}")
+        return state, {k: m.avg for k, m in meters.items()}
+
+
+class GANTrainer:
+    """Standalone GAN pretraining (trainers.py:273-335)."""
+
+    def __init__(self, gan, print_freq=100):
+        self.gan = gan
+        self.print_freq = print_freq
+
+    def train_gan(self, gan_state, epoch, gan_loader, train_iters=400,
+                  base_seed=0):
+        meters = {}
+        for i in range(train_iters):
+            batch = gan_loader.next()
+            dev = {"Xs": gan_input_transform(jnp.asarray(batch["Xs"]))}
+            if "Ps" in batch:
+                dev["Ps"] = jnp.asarray(batch["Ps"])
+            key = jax.random.PRNGKey(base_seed + epoch * train_iters + i)
+            gan_state, errs, _ = self.gan._step(gan_state, dev, key)
+            for k, v in errs.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+            if (i + 1) % self.print_freq == 0:
+                msg = "  ".join(f"{k}: {m.avg:.3f}" for k, m in meters.items())
+                print(f"GAN Epoch: [{epoch}][{i + 1}/{train_iters}]  {msg}")
+        return gan_state, {k: m.avg for k, m in meters.items()}

@@ -16,6 +16,8 @@ from .resnet import (
     resnet_ibn101a,
 )
 
+from .resnet_variants import resnet_bip50, resnet_bipd50, resnet_mp50
+
 __factory = {
     "resnet18": resnet18,
     "resnet34": resnet34,
@@ -24,6 +26,9 @@ __factory = {
     "resnet152": resnet152,
     "resnet_ibn50a": resnet_ibn50a,
     "resnet_ibn101a": resnet_ibn101a,
+    "resnet_bip50": resnet_bip50,
+    "resnet_bipd50": resnet_bipd50,
+    "resnet_mp50": resnet_mp50,
 }
 
 

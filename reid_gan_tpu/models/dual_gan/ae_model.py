@@ -1,0 +1,313 @@
+"""AEModel — the primary dual_gan engine (parity: CC/dual_gan/models/
+AE_model.py) as a functional state + jitted steps.
+
+Covers:
+- pluggable generator flavor model_gen ∈ AE|DEC|FD|Pose|PoseAE (:66-74)
+- ResDiscriminator (ndf=32, img_f=128) when gan_train (:98-101)
+- Adam G at gan_lr, Adam D at gan_lr·ratio_g2d, β1=0.5 (:131-158)
+- losses: multi-mode GANLoss, per-sample L1 (reduction='none', :122),
+  optional VGG (:123-124)
+- synthesis APIs: synthesize_p (:212-214), synthesize_fc + hard_mix
+  (:256-292), synthesize_mix (:216-236), synthesize_mix_p (:238-250)
+- loss APIs: backward_D (:310-314), backward_G_basic (:316-337), get_loss_G
+  (:355-376), get_L1_loss (:378-390), optimize_parameters (:392-401)
+
+The engine exposes PURE functions over an AEState so joint trainers can fuse
+them into single jit programs; ``optimize_parameters`` is the standalone GAN
+step used by GANTrainer.train_gan.
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .external_function import VGGLoss, cal_gradient_penalty, gan_loss
+from .networks import define_D, define_G
+
+
+class AEState(NamedTuple):
+    G: Any
+    D: Any
+    opt_G: Any
+    opt_D: Any
+    step: jnp.ndarray
+
+
+def _l2n(x, axis=-1, eps=1e-12):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
+
+
+def hard_mix(f_s, reid_f, group_size, lambda_fus=0.8):
+    """Per-group hard positive/negative feature mixing (AE_model.py:274-292):
+    anchor = normalized group-mean of reid features; pick the farthest
+    in-group sample and the nearest out-of-group sample by exp-similarity;
+    mix their encoder features λ·F_s[in] + (1−λ)·F_s[out]."""
+    n, fdim = reid_f.shape
+    num_groups = n // group_size
+    anchor = _l2n(jnp.mean(reid_f.reshape(num_groups, group_size, fdim), axis=1))
+    inst = _l2n(reid_f)
+    sim = jnp.exp(jnp.einsum("nc,mc->nm", anchor, inst))
+    row = jax.lax.broadcasted_iota(jnp.int32, (num_groups, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (num_groups, n), 1)
+    id_mask = (col // group_size == row).astype(sim.dtype)
+    in_id = jnp.argmin(id_mask * sim + (1 - id_mask) * sim.max(), axis=1)
+    out_id = jnp.argmax((1 - id_mask) * sim, axis=1)
+    return lambda_fus * f_s[in_id] + (1 - lambda_fus) * f_s[out_id]
+
+
+class AEModel:
+    """Functional dual_gan engine."""
+
+    def __init__(self, cfg, gan_height=128, gan_width=64, num_feats=256, ngf=64,
+                 layers_g=3, num_blocks=3, dis_layers=3, lambda_fus=0.8,
+                 use_spect_g=False, use_spect_d=True, norm="batch",
+                 vgg_params=None, reid_feat_dim=2048):
+        self.cfg = cfg
+        self.h, self.w = gan_height, gan_width
+        self.reid_feat_dim = reid_feat_dim
+        self.model_gen = cfg.model_gen
+        self.gan_mode = cfg.gan_mode
+        self.lambda_fus = lambda_fus
+        self.group_norm = norm
+        self.net_G = define_G(cfg.model_gen, image_nc=3, pose_nc=cfg.pose_channels,
+                              ngf=ngf, img_f=num_feats, encoder_layer=layers_g,
+                              norm=norm, activation="LeakyReLU",
+                              use_spect=use_spect_g, output_nc=3,
+                              num_blocks=num_blocks)
+        self.net_D = define_D(input_nc=3, ndf=32, img_f=128, layers=dis_layers,
+                              use_spect=use_spect_d)
+        self.use_vgg = cfg.use_vgg
+        self.vgg = VGGLoss(vgg_params) if cfg.use_vgg else None
+        beta1 = 0.5
+        self.tx_G = optax.inject_hyperparams(
+            lambda learning_rate: optax.adam(learning_rate, b1=beta1))(
+                learning_rate=cfg.gan_lr)
+        self.tx_D = optax.inject_hyperparams(
+            lambda learning_rate: optax.adam(learning_rate, b1=beta1))(
+                learning_rate=cfg.gan_lr * cfg.ratio_g2d)
+        self._step = jax.jit(self._make_step(), donate_argnums=(0,))
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, key):
+        k1, k2 = jax.random.split(key)
+        img = jnp.zeros((2, self.h, self.w, 3))
+        G = self._init_G(k1, img)
+        D = self.net_D.init(k2, img, train=True)
+        D = {"params": D["params"], "batch_stats": D.get("batch_stats", {})}
+        return AEState(G=G, D=D, opt_G=self.tx_G.init(G["params"]),
+                       opt_D=self.tx_D.init(D["params"]),
+                       step=jnp.zeros((), jnp.int32))
+
+    def _init_G(self, key, img):
+        pose = jnp.zeros((2, self.h, self.w, self.cfg.pose_channels))
+        if self.model_gen in ("AE",):
+            v = self.net_G.init(key, img, train=True)
+        elif self.model_gen == "DEC":
+            v = self.net_G.init(key, jnp.zeros((2, self.h // 8, self.w // 8, self.reid_feat_dim)),
+                                train=True)
+        elif self.model_gen == "FD":
+            v = self.net_G.init({"params": key, "dropout": key},
+                                jnp.zeros((2, self.reid_feat_dim)), jnp.zeros((2, 512)),
+                                train=True)
+        elif self.model_gen == "Pose":
+            v = self.net_G.init(key, jnp.zeros((2, self.h // 8, self.w // 8, self.reid_feat_dim)),
+                                pose, train=True)
+        elif self.model_gen == "PoseAE":
+            v = self.net_G.init(key, img, pose, train=True)
+        elif self.model_gen == "DPTN":
+            v = self.net_G.init(key, img, pose, pose, train=True)
+        else:
+            raise ValueError(self.model_gen)
+        return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+
+    def set_epoch_lr(self, state, mult):
+        state.opt_G.hyperparams["learning_rate"] = jnp.asarray(
+            self.cfg.gan_lr * mult)
+        state.opt_D.hyperparams["learning_rate"] = jnp.asarray(
+            self.cfg.gan_lr * self.cfg.ratio_g2d * mult)
+        return state
+
+    # ------------------------------------------------- pure forward variants
+    def apply_G(self, G, *args, train=False, method=None, mutable=False):
+        variables = {"params": G["params"], "batch_stats": G["batch_stats"]}
+        kwargs = dict(train=train)
+        if method is not None:
+            kwargs["method"] = method
+        if mutable:
+            out, mut = self.net_G.apply(variables, *args, mutable=["batch_stats"],
+                                        **kwargs)
+            return out, mut["batch_stats"]
+        return self.net_G.apply(variables, *args, **kwargs)
+
+    def apply_D(self, D, x, train=False, mutable=False):
+        variables = {"params": D["params"], "batch_stats": D["batch_stats"]}
+        if mutable:
+            out, mut = self.net_D.apply(variables, x, train=train,
+                                        mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return self.net_D.apply(variables, x, train=train)
+
+    def synthesize_p(self, G, features, source_pose, train=False, mutable=False):
+        """features + pose → image (AE_model.py:212-214, Pose generator)."""
+        return self.apply_G(G, features, source_pose, train=train,
+                            mutable=mutable)
+
+    def synthesize_fc(self, G, source_image, reid_f, group_size=16,
+                      train=False):
+        """Encode source images, hard-mix per group, decode
+        (AE_model.py:256-272; AE generator only)."""
+        f_s = self.apply_G(G, source_image, train=train,
+                           method=self.net_G.forward_enc)
+        # one mixed feature per P-group: (num_groups, h, w, c)
+        mixed = hard_mix(f_s.reshape(f_s.shape[0], -1), reid_f, group_size,
+                         self.lambda_fus).reshape((-1,) + f_s.shape[1:])
+        return self.apply_G(G, mixed, train=train,
+                            method=self.net_G.forward_dec)
+
+    def synthesize_mix_p(self, G, key, f_gan, f_gan_ex, source_pose,
+                         train=False):
+        """Pose-generator negative synthesis: extended features rendered with
+        randomly permuted poses (AE_model.py:238-250)."""
+        bs = f_gan.shape[0]
+        exbs = f_gan_ex.shape[0]
+        p_idx = jax.random.randint(key, (exbs,), 0, bs)
+        feats = jnp.concatenate([f_gan, f_gan_ex], axis=0)
+        poses = jnp.concatenate([source_pose, source_pose[p_idx]], axis=0)
+        syn = self.synthesize_p(G, feats, poses, train=train)
+        return syn[:bs], jax.lax.stop_gradient(syn[bs:])
+
+    # --------------------------------------------------------------- losses
+    def d_loss(self, d_params, D_bs, real, fake, key=None):
+        """backward_D_basic (AE_model.py:294-308): real/fake with detached
+        fake + optional WGAN-GP."""
+        fake = jax.lax.stop_gradient(fake)
+        pred_real, bs1 = self.net_D.apply(
+            {"params": d_params, "batch_stats": D_bs}, real, train=True,
+            mutable=["batch_stats"])
+        pred_fake, bs2 = self.net_D.apply(
+            {"params": d_params, "batch_stats": bs1["batch_stats"]}, fake,
+            train=True, mutable=["batch_stats"])
+        loss = (gan_loss(pred_real, True, True, self.gan_mode) +
+                gan_loss(pred_fake, False, True, self.gan_mode)) * 0.5
+        if self.gan_mode == "wgangp":
+            def disc(x):
+                return self.net_D.apply(
+                    {"params": d_params, "batch_stats": D_bs}, x, train=False)
+            gp, _ = cal_gradient_penalty(disc, key, real, fake)
+            loss = loss + gp
+        return loss, bs2["batch_stats"]
+
+    def g_loss_basic(self, D, fake, target, use_d=True):
+        """backward_G_basic (AE_model.py:316-337): per-sample L1·λ_rec,
+        per-sample GAN·λ_g (lsgan), optional VGG."""
+        cfg = self.cfg
+        loss_app = jnp.abs(fake - target) * cfg.lambda_rec
+        loss_ad = None
+        if use_d:
+            pred_fake = self.apply_D(D, fake, train=False)
+            loss_ad = gan_loss(pred_fake, True, False, self.gan_mode)
+            if loss_ad.ndim > 0:
+                loss_ad = loss_ad * cfg.lambda_g
+            else:
+                loss_ad = loss_ad * cfg.lambda_g
+        loss_style = loss_content = None
+        if self.use_vgg:
+            content, style = self.vgg(fake, target)
+            loss_style = style * cfg.lambda_style
+            loss_content = content * cfg.lambda_content
+        return loss_app, loss_ad, loss_style, loss_content
+
+    def get_loss_G(self, D, fake, target):
+        """Scalar graph-bearing G loss for joint backward
+        (AE_model.py:355-376 need_cm=False path + per-sample mean)."""
+        loss_app, loss_ad, loss_style, loss_content = self.g_loss_basic(
+            D, fake, target, use_d=True)
+        per_sample = loss_app.reshape(loss_app.shape[0], -1).mean(axis=-1)
+        if loss_ad is not None and loss_ad.ndim > 0:
+            per_sample = per_sample + loss_ad.reshape(loss_ad.shape[0], -1).mean(-1)
+            loss = per_sample.mean()
+        else:
+            loss = per_sample.mean() + (loss_ad if loss_ad is not None else 0.0)
+        if loss_style is not None:
+            loss = loss + loss_style + loss_content
+        return loss
+
+    def get_L1_loss(self, D, fake, target, with_dis=False):
+        """Per-sample reconstruction loss for confidence weights
+        (AE_model.py:378-390)."""
+        if with_dis:
+            loss_app, loss_ad, _, _ = self.g_loss_basic(D, fake, target, True)
+            rec = loss_app.reshape(loss_app.shape[0], -1).mean(-1)
+            dis = loss_ad.reshape(loss_ad.shape[0], -1).mean(-1)
+            return rec + dis
+        loss_app = jnp.abs(fake - target) * self.cfg.lambda_rec
+        return loss_app.reshape(loss_app.shape[0], -1).mean(-1)
+
+    # ------------------------------------------------------------- the step
+    def _make_step(self):
+        def step(state, batch, key):
+            source = batch["Xs"]
+            pose = batch.get("Ps")
+
+            # forward G (AE reconstruction; Pose renders from given features)
+            def fwd(g_params, g_bs):
+                G = {"params": g_params, "batch_stats": g_bs}
+                if self.model_gen == "AE":
+                    out, new_bs = self.apply_G(G, source, train=True,
+                                               mutable=True)
+                elif self.model_gen == "PoseAE":
+                    out, new_bs = self.apply_G(G, source, pose, train=True,
+                                               mutable=True)
+                else:
+                    raise ValueError(
+                        f"optimize_parameters supports AE/PoseAE; "
+                        f"{self.model_gen} is driven by the joint trainer")
+                return out, new_bs
+
+            fake, _ = fwd(state.G["params"], state.G["batch_stats"])
+
+            # D step (AE_model.py:395-397)
+            def d_loss_fn(d_params):
+                return self.d_loss(d_params, state.D["batch_stats"], source,
+                                   fake, key)
+
+            (loss_D, d_bs), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.D["params"])
+            d_updates, opt_D = self.tx_D.update(d_grads, state.opt_D,
+                                                state.D["params"])
+            d_params = optax.apply_updates(state.D["params"], d_updates)
+
+            # G step vs updated D (AE_model.py:399-401)
+            def g_loss_fn(g_params):
+                fake2, g_bs = fwd(g_params, state.G["batch_stats"])
+                loss = self.get_loss_G({"params": d_params,
+                                        "batch_stats": d_bs}, fake2, source)
+                return loss, (g_bs, fake2)
+
+            (loss_G, (g_bs, fake_out)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.G["params"])
+            g_updates, opt_G = self.tx_G.update(g_grads, state.opt_G,
+                                                state.G["params"])
+            g_params = optax.apply_updates(state.G["params"], g_updates)
+
+            new_state = AEState(G={"params": g_params, "batch_stats": g_bs},
+                                D={"params": d_params, "batch_stats": d_bs},
+                                opt_G=opt_G, opt_D=opt_D, step=state.step + 1)
+            return new_state, {"G": loss_G, "D": loss_D}, fake_out
+
+        return step
+
+    def optimize_parameters(self, state, batch, key):
+        """One D→G adversarial iteration (AE_model.py:392-401). uint8 inputs
+        get the GAN load_size transform (resize + (0.5,)*3 normalize)."""
+        from ...ops.transforms import gan_input_transform
+
+        xs = jnp.asarray(batch["Xs"])
+        if xs.dtype == jnp.uint8:
+            xs = gan_input_transform(xs, self.h, self.w)
+        dev = {"Xs": xs}
+        if "Ps" in batch:
+            dev["Ps"] = jnp.asarray(batch["Ps"])
+        return self._step(state, dev, key)

@@ -1,0 +1,432 @@
+"""Building blocks for the dual_gan generators/discriminators.
+
+Parity: CC/dual_gan/models/base_function.py — spectral-norm conv wrappers
+(:121-126), ResBlock (:193-233), EncoderBlock(Optimized) (:236-257,290-312),
+FeatureAdaptBlock/1 (:259-287), ResBlockDecoder (:315-339), ResUP12Block
+(:342-369), ResBlockEncoder(Optimized) (:372-420), Output (:423-443),
+Auto_Attn (:446-489), CoordConv (:174-190).
+
+NHWC layout. Spectral norm uses flax.linen.SpectralNorm (power-iteration
+state in 'batch_stats', updated when train=True). Pre-activation ordering
+(norm → act → conv) matches the reference exactly.
+"""
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+orth_init = nn.initializers.orthogonal()
+normal_init = nn.initializers.normal(0.02)
+
+
+def get_nonlinearity(activation_type="LeakyReLU"):
+    """base_function.py:51-63. PReLU is module-level (trainable) — callers
+    that need it instantiate nn.PReLU explicitly; functional variants here."""
+    if activation_type == "ReLU":
+        return nn.relu
+    if activation_type == "SELU":
+        return nn.selu
+    if activation_type == "LeakyReLU":
+        return lambda x: nn.leaky_relu(x, 0.1)
+    if activation_type == "PReLU":
+        # functional PReLU with fixed 0.25 init is module-bound; use leaky
+        # 0.25 as the stateless stand-in when used through this factory
+        return lambda x: nn.leaky_relu(x, 0.25)
+    raise NotImplementedError(f"activation layer [{activation_type}] not found")
+
+
+class SpectralConv(nn.Module):
+    """Conv with optional spectral normalization (base_function.py:121-135;
+    use_coord adds normalized coordinate channels, :174-190)."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 1
+    use_bias: bool = True
+    use_spect: bool = False
+    use_coord: bool = False
+    kernel_init: Callable = orth_init
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.use_coord:
+            n, h, w, _ = x.shape
+            yy = jnp.broadcast_to(jnp.linspace(-1, 1, h)[None, :, None, None],
+                                  (n, h, w, 1))
+            xx = jnp.broadcast_to(jnp.linspace(-1, 1, w)[None, None, :, None],
+                                  (n, h, w, 1))
+            x = jnp.concatenate([x, yy, xx], axis=-1)
+        conv = nn.Conv(self.features, self.kernel_size, self.strides,
+                       padding=self.padding, use_bias=self.use_bias,
+                       kernel_init=self.kernel_init, name="conv")
+        if self.use_spect:
+            return nn.SpectralNorm(conv)(x, update_stats=train)
+        return conv(x)
+
+
+class SpectralConvTranspose(nn.Module):
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (2, 2)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    use_spect: bool = False
+    kernel_init: Callable = orth_init
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = nn.ConvTranspose(self.features, self.kernel_size, self.strides,
+                                padding=self.padding, use_bias=self.use_bias,
+                                kernel_init=self.kernel_init, name="conv")
+        if self.use_spect:
+            return nn.SpectralNorm(conv)(x, update_stats=train)
+        return conv(x)
+
+
+def make_norm(norm, name, train):
+    """'batch' | 'instance' | 'none' → callable or None
+    (base_function.py:38-48)."""
+    if norm == "batch":
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, name=name)
+    if norm == "instance":
+        # InstanceNorm2d(affine=True): per-sample per-channel over H,W
+        return _InstanceNorm(name=name)
+    if norm == "none" or norm is None:
+        return None
+    raise NotImplementedError(norm)
+
+
+class _InstanceNorm(nn.Module):
+    epsilon: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * scale + bias
+        return y
+
+
+def pixel_shuffle(x, factor=2):
+    """NHWC PixelShuffle (torch nn.PixelShuffle equivalent)."""
+    n, h, w, c = x.shape
+    out_c = c // (factor * factor)
+    x = x.reshape(n, h, w, factor, factor, out_c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(n, h * factor, w * factor, out_c)
+
+
+class ResBlock(nn.Module):
+    """base_function.py:193-233 — pre-act residual with 1×1 bypass and
+    optional up (pixel-shuffle) / down (avg-pool) sampling."""
+    output_nc: int
+    hidden_nc: Optional[int] = None
+    norm: str = "batch"
+    activation: str = "LeakyReLU"
+    sample_type: str = "none"
+    use_spect: bool = False
+    use_coord: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden_nc = self.hidden_nc or self.output_nc
+        act = get_nonlinearity(self.activation)
+        out_nc = self.output_nc * 4 if self.sample_type == "up" else self.output_nc
+
+        y = x
+        n1 = make_norm(self.norm, "norm1", train)
+        if n1 is not None:
+            y = n1(y)
+        y = act(y)
+        y = SpectralConv(hidden_nc, (3, 3), padding=1, use_spect=self.use_spect,
+                         use_coord=self.use_coord, name="conv1")(y, train)
+        n2 = make_norm(self.norm, "norm2", train)
+        if n2 is not None:
+            y = n2(y)
+        y = act(y)
+        y = SpectralConv(out_nc, (3, 3), padding=1, use_spect=self.use_spect,
+                         use_coord=self.use_coord, name="conv2")(y, train)
+        short = SpectralConv(out_nc, (1, 1), padding=0, use_spect=self.use_spect,
+                             use_coord=self.use_coord, name="bypass")(x, train)
+        if self.sample_type == "up":
+            return pixel_shuffle(y, 2) + pixel_shuffle(short, 2)
+        if self.sample_type == "down":
+            pool = lambda v: nn.avg_pool(v, (2, 2), (2, 2))  # noqa: E731
+            return pool(y) + pool(short)
+        return y + short
+
+
+class EncoderBlockOptimized(nn.Module):
+    """First generator encoder block: conv↓2 → norm → act → conv
+    (base_function.py:236-257; no input norm)."""
+    output_nc: int
+    norm: str = "batch"
+    activation: str = "LeakyReLU"
+    use_spect: bool = False
+    use_coord: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = get_nonlinearity(self.activation)
+        y = SpectralConv(self.output_nc, (4, 4), (2, 2), padding=1,
+                         use_spect=self.use_spect, use_coord=self.use_coord,
+                         name="conv1")(x, train)
+        n = make_norm(self.norm, "norm1", train)
+        if n is not None:
+            y = n(y)
+        y = act(y)
+        return SpectralConv(self.output_nc, (3, 3), padding=1,
+                            use_spect=self.use_spect, use_coord=self.use_coord,
+                            name="conv2")(y, train)
+
+
+class EncoderBlock(nn.Module):
+    """Mid encoder block: norm → act → conv↓2 → norm → act → conv
+    (base_function.py:290-312)."""
+    output_nc: int
+    norm: str = "batch"
+    activation: str = "LeakyReLU"
+    use_spect: bool = False
+    use_coord: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = get_nonlinearity(self.activation)
+        y = x
+        n1 = make_norm(self.norm, "norm1", train)
+        if n1 is not None:
+            y = n1(y)
+            y = act(y)
+            y = SpectralConv(self.output_nc, (4, 4), (2, 2), padding=1,
+                             use_spect=self.use_spect, use_coord=self.use_coord,
+                             name="conv1")(y, train)
+            n2 = make_norm(self.norm, "norm2", train)
+            y = n2(y)
+            y = act(y)
+            return SpectralConv(self.output_nc, (3, 3), padding=1,
+                                use_spect=self.use_spect,
+                                use_coord=self.use_coord, name="conv2")(y, train)
+        # norm-free variant (base_function.py:304-305)
+        y = SpectralConv(self.output_nc, (4, 4), (2, 2), padding=1,
+                         use_spect=self.use_spect, use_coord=self.use_coord,
+                         name="conv1")(y, train)
+        y = act(y)
+        y = SpectralConv(self.output_nc, (3, 3), padding=1,
+                         use_spect=self.use_spect, use_coord=self.use_coord,
+                         name="conv2")(y, train)
+        return act(y)
+
+
+class FeatureAdaptBlock(nn.Module):
+    """(B, C_in) 1×1 feature → (B, up_h, up_w, C_out) via transposed conv
+    (base_function.py:259-272)."""
+    output_nc: int
+    up_size: Tuple[int, int] = (8, 4)
+    norm: str = "batch"
+    activation: str = "LeakyReLU"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.ndim == 2:
+            x = x[:, None, None, :]
+        y = nn.ConvTranspose(self.output_nc, self.up_size, padding="VALID",
+                             kernel_init=orth_init, name="conv1")(x)
+        n = make_norm(self.norm, "norm1", train)
+        if n is not None:
+            y = n(y)
+        return get_nonlinearity(self.activation)(y)
+
+
+class FeatureAdaptBlock1(nn.Module):
+    """1×1 conv channel adapter for spatial reid features
+    (base_function.py:274-287)."""
+    output_nc: int
+    norm: str = "batch"
+    activation: str = "LeakyReLU"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.output_nc, (1, 1), kernel_init=orth_init,
+                    name="conv1")(x)
+        n = make_norm(self.norm, "norm1", train)
+        if n is not None:
+            y = n(y)
+        return get_nonlinearity(self.activation)(y)
+
+
+class ResBlockDecoder(nn.Module):
+    """Pre-act residual ×2 upsample decoder block (base_function.py:315-339)."""
+    output_nc: int
+    hidden_nc: Optional[int] = None
+    norm: str = "batch"
+    activation: str = "LeakyReLU"
+    use_spect: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden_nc = self.hidden_nc or self.output_nc
+        act = get_nonlinearity(self.activation)
+        y = x
+        n1 = make_norm(self.norm, "norm1", train)
+        if n1 is not None:
+            y = n1(y)
+        y = act(y)
+        y = SpectralConv(hidden_nc, (3, 3), padding=1, use_spect=self.use_spect,
+                         name="conv1")(y, train)
+        n2 = make_norm(self.norm, "norm2", train)
+        if n2 is not None:
+            y = n2(y)
+        y = act(y)
+        y = SpectralConvTranspose(self.output_nc, (3, 3), (2, 2),
+                                  use_spect=self.use_spect, name="conv2")(y, train)
+        short = SpectralConvTranspose(self.output_nc, (3, 3), (2, 2),
+                                      use_spect=self.use_spect,
+                                      name="bypass")(x, train)
+        return y + short
+
+
+class ResUP12Block(nn.Module):
+    """(4×, 2×) anisotropic upsample residual block (base_function.py:342-369)."""
+    output_nc: int
+    hidden_nc: Optional[int] = None
+    norm: str = "batch"
+    activation: str = "LeakyReLU"
+    use_spect: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden_nc = self.hidden_nc or self.output_nc
+        act = get_nonlinearity(self.activation)
+        y = x
+        n1 = make_norm(self.norm, "norm1", train)
+        if n1 is not None:
+            y = n1(y)
+        y = act(y)
+        y = SpectralConv(hidden_nc, (1, 1), padding=0, use_spect=self.use_spect,
+                         name="conv1")(y, train)
+        n2 = make_norm(self.norm, "norm2", train)
+        if n2 is not None:
+            y = n2(y)
+        y = act(y)
+        y = SpectralConvTranspose(self.output_nc, (5, 3), (4, 2),
+                                  use_spect=self.use_spect, name="conv2")(y, train)
+        short = SpectralConvTranspose(self.output_nc, (5, 3), (4, 2),
+                                      use_spect=self.use_spect,
+                                      name="bypass")(x, train)
+        return y + short
+
+
+class ResBlockEncoderOptimized(nn.Module):
+    """First discriminator block: conv → [norm] → act → conv↓2 with
+    avg-pool+1×1 shortcut (base_function.py:372-394)."""
+    output_nc: int
+    hidden_nc: Optional[int] = None
+    norm: str = "none"
+    activation: str = "LeakyReLU"
+    use_spect: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden_nc = self.hidden_nc or x.shape[-1]
+        act = get_nonlinearity(self.activation)
+        y = SpectralConv(hidden_nc, (3, 3), padding=1, use_spect=self.use_spect,
+                         name="conv1")(x, train)
+        n = make_norm(self.norm, "norm1", train)
+        if n is not None:
+            y = n(y)
+        y = act(y)
+        y = SpectralConv(self.output_nc, (4, 4), (2, 2), padding=1,
+                         use_spect=self.use_spect, name="conv2")(y, train)
+        short = nn.avg_pool(x, (2, 2), (2, 2))
+        short = SpectralConv(self.output_nc, (1, 1), padding=0,
+                             use_spect=self.use_spect, name="bypass")(short, train)
+        return y + short
+
+
+class ResBlockEncoder(nn.Module):
+    """Mid discriminator block (base_function.py:397-420)."""
+    output_nc: int
+    hidden_nc: Optional[int] = None
+    norm: str = "none"
+    activation: str = "LeakyReLU"
+    use_spect: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden_nc = self.hidden_nc or x.shape[-1]
+        act = get_nonlinearity(self.activation)
+        y = x
+        n1 = make_norm(self.norm, "norm1", train)
+        if n1 is not None:
+            y = n1(y)
+        y = act(y)
+        y = SpectralConv(hidden_nc, (3, 3), padding=1, use_spect=self.use_spect,
+                         name="conv1")(y, train)
+        n2 = make_norm(self.norm, "norm2", train)
+        if n2 is not None:
+            y = n2(y)
+        y = act(y)
+        y = SpectralConv(self.output_nc, (4, 4), (2, 2), padding=1,
+                         use_spect=self.use_spect, name="conv2")(y, train)
+        short = nn.avg_pool(x, (2, 2), (2, 2))
+        short = SpectralConv(self.output_nc, (1, 1), padding=0,
+                             use_spect=self.use_spect, name="bypass")(short, train)
+        return y + short
+
+
+class Output(nn.Module):
+    """[norm] → act → reflection-pad → conv → tanh (base_function.py:423-443)."""
+    output_nc: int
+    kernel_size: int = 3
+    norm: str = "none"
+    activation: str = "LeakyReLU"
+    use_spect: bool = False
+    use_coord: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = get_nonlinearity(self.activation)
+        y = x
+        n = make_norm(self.norm, "norm1", train)
+        if n is not None:
+            y = n(y)
+        y = act(y)
+        p = self.kernel_size // 2
+        y = jnp.pad(y, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        y = SpectralConv(self.output_nc, (self.kernel_size, self.kernel_size),
+                         padding=0, use_spect=self.use_spect,
+                         use_coord=self.use_coord, name="conv1")(y, train)
+        return jnp.tanh(y)
+
+
+class AutoAttn(nn.Module):
+    """Short(+long) self-attention (base_function.py:446-489)."""
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, pre=None, mask=None, train: bool = False):
+        n, h, w, c = x.shape
+        q = nn.Conv(c // 4, (1, 1), kernel_init=orth_init, name="query_conv")(x)
+        q = q.reshape(n, h * w, c // 4)
+        energy = jnp.einsum("nlc,nmc->nlm", q, q)
+        attention = nn.softmax(energy, axis=-1)
+        v = x.reshape(n, h * w, c)
+        out = jnp.einsum("nlm,nmc->nlc", attention, v).reshape(n, h, w, c)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        out = gamma * out + x
+        if pre is not None:
+            alpha = self.param("alpha", nn.initializers.zeros, (1,))
+            pv = pre.reshape(n, h * w, -1)
+            flow = jnp.einsum("nlm,nmc->nlc", attention, pv).reshape(n, h, w, -1)
+            flow = alpha * (1 - mask) * flow + mask * pre
+            out = ResBlock(c, c, norm=self.norm, use_spect=True,
+                           name="model")(jnp.concatenate([out, flow], -1), train)
+        return out, attention

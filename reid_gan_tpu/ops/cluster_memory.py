@@ -147,6 +147,43 @@ def _update_hard(state, x, targets, momentum):
     return state._replace(features=feats)
 
 
+class GradientMemoryState(NamedTuple):
+    """ClusterMemory_Gradient (cm.py:140-193): clusters as a TRAINABLE tensor
+    with a private SGD optimizer."""
+    clusters: jnp.ndarray     # (K, D) unnormalized trainable centroids
+    num_valid: jnp.ndarray
+
+
+def init_gradient_memory(centroids, k_pad=None):
+    c = jnp.asarray(centroids, jnp.float32)
+    k = c.shape[0]
+    k_pad = k_pad or k
+    return GradientMemoryState(jnp.pad(c, ((0, k_pad - k), (0, 0))),
+                               jnp.asarray(k, jnp.int32))
+
+
+def gradient_memory_loss(x, targets, state, temp=0.05, ex_f=None,
+                         group_size=1):
+    """Forward against detached NORMALIZED clusters; extended-logit masking as
+    in memory_loss (cm.py:158-182). Returns mean CE (cm.py:181)."""
+    normed = _l2n(state.clusters)
+    proxy = MemoryState(jax.lax.stop_gradient(normed),
+                        jnp.zeros((0, state.clusters.shape[1])),
+                        state.num_valid)
+    loss, logits = memory_loss(x, targets, proxy, temp, ex_f, group_size)
+    return loss.mean(), logits
+
+
+def update_gradient_clusters(state, grads, p_ids, cluster_lr=0.1, eps=1e-16):
+    """SGD step on the trainable clusters with per-row gradient normalization
+    for the touched ids (cm.py:184-193). ``grads``: (K, D) gradient of the
+    GAN loss wrt state.clusters; ``p_ids``: boolean mask (K,) of rows to
+    row-normalize."""
+    norms = jnp.linalg.norm(grads, axis=1, keepdims=True) + eps
+    g = jnp.where(p_ids[:, None], grads / norms, grads)
+    return state._replace(clusters=state.clusters - cluster_lr * g)
+
+
 @partial(jax.jit, static_argnames=("temp", "momentum", "use_hard"))
 def memory_step(x, targets, state, temp=0.05, momentum=0.2, use_hard=False,
                 gan_x=None):

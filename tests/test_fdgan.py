@@ -102,8 +102,8 @@ def test_fdgan_optimize_step(stage):
     rng = np.random.RandomState(0)
     b1, b2 = _fake_pair_batch(rng), _fake_pair_batch(rng)
     b2["pid"] = b1["pid"].copy()  # one positive pair at least
-    g_before = jax.tree_util.tree_leaves(state.G["params"])
-    e_before = jax.tree_util.tree_leaves(state.E["params"])
+    g_before = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.G["params"])]
+    e_before = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.E["params"])]
     state, errors, fake = model.optimize_step(state, b1, b2,
                                               jax.random.PRNGKey(1))
     for k, v in errors.items():

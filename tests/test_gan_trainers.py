@@ -1,0 +1,134 @@
+"""Joint GAN+reID trainer tests: all three modes step correctly, the GAN
+pretrainer runs, and the joint CLI completes a debug epoch end-to-end."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reid_gan_tpu.config import GANConfig
+from reid_gan_tpu.engine.gan_trainers import (
+    ClusterContrastWithGANTrainer,
+    GANTrainer,
+)
+from reid_gan_tpu.models import create as create_model
+from reid_gan_tpu.models.dual_gan.ae_model import AEModel
+from reid_gan_tpu.ops.cluster_memory import init_memory
+
+H, W = 32, 16        # reid input
+GH, GW = 16, 8       # gan input
+
+
+class FakeLoader:
+    def __init__(self, batches):
+        self.batches = batches
+        self.i = 0
+
+    def next(self):
+        b = self.batches[self.i % len(self.batches)]
+        self.i += 1
+        return b
+
+
+def _setup(model_gen="AE", k=4, b=8, group=2):
+    rng = np.random.RandomState(0)
+    encoder = create_model("resnet18", norm=True)
+    x = jnp.zeros((b, H, W, 3))
+    enc_vars = encoder.init(jax.random.PRNGKey(0), x, train=True)
+    cfg = GANConfig(model="AE", model_gen=model_gen)
+    gan = AEModel(cfg, gan_height=GH, gan_width=GW, num_feats=32, ngf=8,
+                  num_blocks=1, reid_feat_dim=512)
+    gan_state = gan.init_state(jax.random.PRNGKey(1))
+    centers = rng.randn(k, 512).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    memory = init_memory(centers)
+    trainer = ClusterContrastWithGANTrainer(
+        encoder, gan, height=H, width=W, iters_per_epoch=4,
+        num_instances=group)
+    state = trainer.init_state(enc_vars, gan_state, memory)
+    # P×K-structured pids so hard_mix groups are single-id
+    pids = np.repeat(rng.randint(0, k, b // group), group)
+    batch = {"img": rng.randint(0, 256, (b, H, W, 3), dtype=np.uint8),
+             "pid": pids,
+             "Xs": rng.randint(0, 256, (b, GH, GW, 3), dtype=np.uint8),
+             "keypoints": rng.randint(0, 16, (b, 18, 2)).astype(np.float32),
+             "old_size": np.full((b, 2), 16.0, np.float32),
+             "index": np.arange(b)}
+    return trainer, state, batch
+
+
+def test_train_reid_mode():
+    trainer, state, batch = _setup()
+    loader = FakeLoader([batch])
+    state, errs = trainer.run_epoch(state, 0, loader, mode="train_reid",
+                                    train_iters=2, print_freq=100)
+    assert np.isfinite(errs["loss"])
+
+
+def test_train_mode_hard_mix_negatives():
+    trainer, state, batch = _setup(model_gen="AE")
+    loader = FakeLoader([batch])
+    before = np.asarray(state.memory.features).copy()
+    state, errs = trainer.run_epoch(state, 0, loader, mode="train",
+                                    train_iters=2, print_freq=100)
+    assert np.isfinite(errs["loss"])
+    assert not np.allclose(before, np.asarray(state.memory.features))
+
+
+def test_train_all_mode_joint():
+    trainer, state, batch = _setup(model_gen="Pose")
+    loader = FakeLoader([batch])
+    g_before = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.gan.G["params"])]
+    e_before = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.enc_params)]
+    state, errs = trainer.run_epoch(state, 0, loader, mode="train_all",
+                                    train_iters=2, print_freq=100)
+    for key in ("loss", "loss_cl", "G", "D"):
+        assert np.isfinite(errs[key]), key
+    g_after = jax.tree_util.tree_leaves(state.gan.G["params"])
+    e_after = jax.tree_util.tree_leaves(state.enc_params)
+    assert any(not np.allclose(a, b) for a, b in zip(g_before, g_after))
+    assert any(not np.allclose(a, b) for a, b in zip(e_before, e_after))
+
+
+def test_train_all_conf_weight_masks_loss():
+    trainer, state, batch = _setup(model_gen="Pose")
+    loader = FakeLoader([batch])
+    conf = np.zeros(len(batch["pid"]), np.float32)  # all masked → loss_cl = 0
+    state, errs = trainer.run_epoch(state, 0, loader, mode="train_all",
+                                    train_iters=1, print_freq=100,
+                                    conf_weight=conf)
+    assert abs(errs["loss_cl"]) < 1e-6
+
+
+def test_gan_pretrainer():
+    cfg = GANConfig(model="AE", model_gen="AE")
+    gan = AEModel(cfg, gan_height=GH, gan_width=GW, num_feats=32, ngf=8, num_blocks=1)
+    gan_state = gan.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    loader = FakeLoader([{"Xs": rng.randint(0, 256, (2, GH, GW, 3),
+                                            dtype=np.uint8)}])
+    t = GANTrainer(gan)
+    gan_state, errs = t.train_gan(gan_state, 0, loader, train_iters=2)
+    assert np.isfinite(errs["G"]) and np.isfinite(errs["D"])
+
+
+def test_joint_cli_debug_epoch(tmp_path):
+    from reid_gan_tpu.cli.train_gan_usl import main
+
+    best = main([
+        "--dataset", "synthetic", "--data-dir", str(tmp_path),
+        "--arch", "resnet18", "--height", "64", "--width", "32",
+        "--gan-height", "32", "--gan-width", "16",
+        "--batch-size", "8", "--num-instances", "4",
+        "--eps", "0.7", "--k1", "8", "--k2", "3",
+        "--cluster-backend", "dbscan",
+        "--model", "AE", "--model-gen", "Pose",
+        "--workers", "2", "--eval-step", "1",
+        "--debug", "--logs-dir", str(tmp_path / "logs"),
+        "--save-dir", str(tmp_path / "ckpt"),
+    ])
+    sys.stdout = sys.__stdout__
+    assert 0.0 <= best <= 1.0
+    assert (tmp_path / "ckpt" / "experiment" / "latest_net_G.msgpack").exists()
