@@ -86,12 +86,18 @@ def main(argv=None):
     gan_state = gan.init_state(jax.random.PRNGKey(cfg.train.seed))
 
     encoder = create_model(cfg.model.arch, norm=cfg.model.norm,
-                           pooling_type=cfg.model.pooling_type)
+                           pooling_type=cfg.model.pooling_type,
+                           dtype=jnp.bfloat16 if cfg.train.fp16 else None)
     dummy = jnp.zeros((2, cfg.data.height, cfg.data.width, 3))
     enc_vars = encoder.init(jax.random.PRNGKey(cfg.train.seed), dummy,
                             train=True)
     if cfg.train.resume:
-        enc_vars = load_checkpoint(cfg.train.resume, target=enc_vars)
+        ckpt = load_checkpoint(cfg.train.resume,
+                               target={"params": enc_vars["params"],
+                                       "batch_stats": enc_vars["batch_stats"],
+                                       "epoch": 0, "best_mAP": 0.0})
+        enc_vars = {"params": ckpt["params"],
+                    "batch_stats": ckpt["batch_stats"]}
 
     extractor = FeatureExtractor(encoder, {"params": enc_vars["params"],
                                            "batch_stats": enc_vars["batch_stats"]},

@@ -43,11 +43,20 @@ def main(argv=None, mesh=None):
     dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)
     model = create_model(cfg.model.arch, num_features=cfg.model.features,
                          norm=cfg.model.norm, dropout=cfg.model.dropout,
-                         pooling_type=cfg.model.pooling_type)
+                         pooling_type=cfg.model.pooling_type,
+                         dtype=jnp.bfloat16 if cfg.train.fp16 else None)
     dummy = jnp.zeros((2, cfg.data.height, cfg.data.width, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(cfg.train.seed), dummy, train=True)
+    start_epoch = 0
     if cfg.train.resume:
-        variables = load_checkpoint(cfg.train.resume, target=variables)
+        ckpt = load_checkpoint(cfg.train.resume,
+                               target={"params": variables["params"],
+                                       "batch_stats": variables["batch_stats"],
+                                       "epoch": 0, "best_mAP": 0.0})
+        variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+        start_epoch = int(ckpt["epoch"])
+        print(f"=> Resumed from epoch {start_epoch} "
+              f"(best mAP {float(ckpt['best_mAP']):.1%})")
 
     extractor = FeatureExtractor(model, {"params": variables["params"],
                                          "batch_stats": variables["batch_stats"]},
@@ -77,7 +86,7 @@ def main(argv=None, mesh=None):
     # pad the bank so cluster-count drift doesn't retrace the step
     k_pad = cfg.cluster.max_clusters or None
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         # keep the extractor looking at current weights
         extractor.variables = {"params": variables["params"] if state is None
                                else state.params,

@@ -14,13 +14,15 @@ Covers both reference backbones with one block library:
 Design notes (TPU): NHWC layout so convs map directly onto MXU tiling;
 BatchNorm under jit with a batch-sharded input computes GLOBAL batch stats
 (XLA inserts the cross-chip reduction) — i.e. sync-BN, a strict improvement
-over the reference's per-replica DataParallel BN; bfloat16 compute is applied
-by the train step via ``jax.default_matmul_precision`` rather than per-layer
-casts.
+over the reference's per-replica DataParallel BN (flax computes BN statistics
+in float32 internally); mixed precision via the ``dtype=jnp.bfloat16`` module
+field — params stay float32, convs/activations run bfloat16 on the MXU
+(wired to the reference's parsed-but-unused ``--fp16`` flag,
+CC/examples/options/base_options.py:52).
 """
 
 from functools import partial
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -46,9 +48,9 @@ class IBN(nn.Module):
         return jnp.concatenate([x_in, x_bn], axis=-1)
 
 
-def _bn(name, train, momentum=0.9):
+def _bn(name, train, momentum=0.9, dtype=None):
     return nn.BatchNorm(use_running_average=not train, momentum=momentum,
-                        epsilon=1e-5, name=name)
+                        epsilon=1e-5, name=name, dtype=dtype)
 
 
 class BasicBlock(nn.Module):
@@ -56,22 +58,25 @@ class BasicBlock(nn.Module):
     stride: int = 1
     ibn: bool = False
     expansion: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride), padding=1,
-                    use_bias=False, kernel_init=conv_kaiming, name="conv1")(x)
-        y = IBN(name="bn1")(y, train) if self.ibn else _bn("bn1", train)(y)
+                    use_bias=False, kernel_init=conv_kaiming, name="conv1",
+                    dtype=self.dtype)(x)
+        y = IBN(name="bn1")(y, train) if self.ibn else \
+            _bn("bn1", train, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
-                    kernel_init=conv_kaiming, name="conv2")(y)
-        y = _bn("bn2", train)(y)
+                    kernel_init=conv_kaiming, name="conv2", dtype=self.dtype)(y)
+        y = _bn("bn2", train, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.filters, (1, 1), (self.stride, self.stride),
                                use_bias=False, kernel_init=conv_kaiming,
-                               name="downsample_conv")(x)
-            residual = _bn("downsample_bn", train)(residual)
+                               name="downsample_conv", dtype=self.dtype)(x)
+            residual = _bn("downsample_bn", train, dtype=self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -80,27 +85,30 @@ class Bottleneck(nn.Module):
     stride: int = 1
     ibn: bool = False
     expansion: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False,
-                    kernel_init=conv_kaiming, name="conv1")(x)
-        y = IBN(name="bn1")(y, train) if self.ibn else _bn("bn1", train)(y)
+                    kernel_init=conv_kaiming, name="conv1", dtype=self.dtype)(x)
+        y = IBN(name="bn1")(y, train) if self.ibn else \
+            _bn("bn1", train, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride), padding=1,
-                    use_bias=False, kernel_init=conv_kaiming, name="conv2")(y)
-        y = _bn("bn2", train)(y)
+                    use_bias=False, kernel_init=conv_kaiming, name="conv2",
+                    dtype=self.dtype)(y)
+        y = _bn("bn2", train, dtype=self.dtype)(y)
         y = nn.relu(y)
         out_c = self.filters * self.expansion
         y = nn.Conv(out_c, (1, 1), use_bias=False,
-                    kernel_init=conv_kaiming, name="conv3")(y)
-        y = _bn("bn3", train)(y)
+                    kernel_init=conv_kaiming, name="conv3", dtype=self.dtype)(y)
+        y = _bn("bn3", train, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(out_c, (1, 1), (self.stride, self.stride),
                                use_bias=False, kernel_init=conv_kaiming,
-                               name="downsample_conv")(x)
-            residual = _bn("downsample_bn", train)(residual)
+                               name="downsample_conv", dtype=self.dtype)(x)
+            residual = _bn("downsample_bn", train, dtype=self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -119,13 +127,16 @@ class ResNetBackbone(nn.Module):
     last_stride: int = 1
     ibn: bool = False                      # IBN-a in stages 1-3
     stop_at_stage: int = 4                 # for part-branch variants
+    dtype: Any = None                      # bf16 mixed-precision compute
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_cls, sizes = STAGES[self.depth]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
-                    kernel_init=conv_kaiming, name="conv1")(x)
-        y = _bn("bn1", train)(y)
+                    kernel_init=conv_kaiming, name="conv1", dtype=self.dtype)(x)
+        y = _bn("bn1", train, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         filters = (64, 128, 256, 512)
@@ -134,7 +145,8 @@ class ResNetBackbone(nn.Module):
             ibn = self.ibn and i < 3
             for j in range(sizes[i]):
                 y = block_cls(filters[i], stride=stride if j == 0 else 1,
-                              ibn=ibn, name=f"layer{i + 1}_{j}")(y, train)
+                              ibn=ibn, dtype=self.dtype,
+                              name=f"layer{i + 1}_{j}")(y, train)
         return y
 
     @property
@@ -158,11 +170,13 @@ class ReIDResNet(nn.Module):
     pooling_type: str = "gem"
     cut_at_pooling: bool = False
     last_stride: int = 1
+    dtype: Any = None                      # bf16 backbone compute; heads f32
 
     @nn.compact
     def __call__(self, x, train: bool = False, test_all: bool = False):
         fmap = ResNetBackbone(self.depth, self.last_stride, self.ibn,
-                              name="base")(x, train)
+                              dtype=self.dtype, name="base")(x, train)
+        fmap = fmap.astype(jnp.float32)
         # GAN branch: per-position channel-L2 normalization
         # (resnet.py:93,107 — F.normalize(gan_x, dim=1) on NCHW)
         gan_feat = fmap * jnp.reciprocal(

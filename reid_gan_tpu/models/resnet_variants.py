@@ -3,6 +3,8 @@
 SURVEY.md C10).
 """
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -16,6 +18,7 @@ class ResNetStage(nn.Module):
     stage: int = 4          # 1-based
     stride: int = 2
     name_prefix: str = "layer4"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -24,6 +27,7 @@ class ResNetStage(nn.Module):
         y = x
         for j in range(sizes[self.stage - 1]):
             y = block_cls(filters, stride=self.stride if j == 0 else 1,
+                          dtype=self.dtype,
                           name=f"{self.name_prefix}_{j}")(y, train)
         return y
 
@@ -37,15 +41,21 @@ class ResNetBip(nn.Module):
     dropout: float = 0.0
     pooling_type: str = "gem"
     cut_at_pooling: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, fuse: bool = True,
                  output_balance: float = 1.0):
-        stem = ResNetBackbone(self.depth, stop_at_stage=2, name="base")(x, train)
-        x1 = ResNetStage(self.depth, 3, 2, "layer3", name="p1_l3")(stem, train)
-        x1 = ResNetStage(self.depth, 4, 1, "layer4", name="p1_l4")(x1, train)
-        x2 = ResNetStage(self.depth, 3, 2, "layer3", name="p2_l3")(stem, train)
-        x2 = ResNetStage(self.depth, 4, 1, "layer4", name="p2_l4")(x2, train)
+        stem = ResNetBackbone(self.depth, stop_at_stage=2, dtype=self.dtype,
+                              name="base")(x, train)
+        x1 = ResNetStage(self.depth, 3, 2, "layer3", dtype=self.dtype,
+                         name="p1_l3")(stem, train)
+        x1 = ResNetStage(self.depth, 4, 1, "layer4", dtype=self.dtype,
+                         name="p1_l4")(x1, train).astype(jnp.float32)
+        x2 = ResNetStage(self.depth, 3, 2, "layer3", dtype=self.dtype,
+                         name="p2_l3")(stem, train)
+        x2 = ResNetStage(self.depth, 4, 1, "layer4", dtype=self.dtype,
+                         name="p2_l4")(x2, train).astype(jnp.float32)
         if self.cut_at_pooling:
             return {"feat": x1}
         g1 = GeneralizedMeanPooling(name="gap1")(x1)
@@ -71,14 +81,20 @@ class ResNetBipD(nn.Module):
     norm: bool = True
     dropout: float = 0.0
     pooling_type: str = "gem"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, test_all: bool = False):
-        stem = ResNetBackbone(self.depth, stop_at_stage=2, name="base")(x, train)
-        x1 = ResNetStage(self.depth, 3, 2, "layer3", name="p1_l3")(stem, train)
-        x1 = ResNetStage(self.depth, 4, 1, "layer4", name="p1_l4")(x1, train)
-        x2 = ResNetStage(self.depth, 3, 2, "layer3", name="p2_l3")(stem, train)
-        x2 = ResNetStage(self.depth, 4, 1, "layer4", name="p2_l4")(x2, train)
+        stem = ResNetBackbone(self.depth, stop_at_stage=2, dtype=self.dtype,
+                              name="base")(x, train)
+        x1 = ResNetStage(self.depth, 3, 2, "layer3", dtype=self.dtype,
+                         name="p1_l3")(stem, train)
+        x1 = ResNetStage(self.depth, 4, 1, "layer4", dtype=self.dtype,
+                         name="p1_l4")(x1, train).astype(jnp.float32)
+        x2 = ResNetStage(self.depth, 3, 2, "layer3", dtype=self.dtype,
+                         name="p2_l3")(stem, train)
+        x2 = ResNetStage(self.depth, 4, 1, "layer4", dtype=self.dtype,
+                         name="p2_l4")(x2, train).astype(jnp.float32)
         g1 = GeneralizedMeanPooling(name="gap")(x1)
         bn_x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, use_bias=False, name="feat_bn")(g1)
@@ -103,13 +119,17 @@ class ResNetMP(nn.Module):
     dropout: float = 0.0
     num_proj: int = 256
     fusion: str = "sum"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, clustering: bool = False,
                  test_all: bool = False):
-        stem = ResNetBackbone(self.depth, stop_at_stage=3, name="base")(x, train)
-        x_g = ResNetStage(self.depth, 4, 2, "layer4", name="res_g")(stem, train)
-        x_p = ResNetStage(self.depth, 4, 1, "layer4", name="res_p")(stem, train)
+        stem = ResNetBackbone(self.depth, stop_at_stage=3, dtype=self.dtype,
+                              name="base")(x, train)
+        x_g = ResNetStage(self.depth, 4, 2, "layer4", dtype=self.dtype,
+                          name="res_g")(stem, train).astype(jnp.float32)
+        x_p = ResNetStage(self.depth, 4, 1, "layer4", dtype=self.dtype,
+                          name="res_p")(stem, train).astype(jnp.float32)
         nfeat = x_g.shape[-1]
         div = x_p.shape[1] // 2
         gem = GeneralizedMeanPooling

@@ -51,9 +51,10 @@ def test_discriminator_patch_output():
     x = jnp.zeros((2, H, W, 21))
     v = d.init(jax.random.PRNGKey(0), x, train=True)
     out = d.apply(v, x, train=False)
-    # 2 stride-2 convs → H/4−ish patch map with 1 channel
+    # n_layers=3 → 3 stride-2 convs (conv0 + 2), then two k4/s1/p1 convs:
+    # 64→32→16→8→7→6 (FD/fdgan/networks.py:204-231)
     assert out.shape[0] == 2 and out.shape[-1] == 1
-    assert out.shape[1] == H // 4 - 2 and out.shape[2] == W // 4 - 2
+    assert out.shape[1] == H // 8 - 2 and out.shape[2] == W // 8 - 2
 
 
 def test_gan_loss_hard_matches_manual():
