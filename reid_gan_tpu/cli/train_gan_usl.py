@@ -147,33 +147,47 @@ def main(argv=None):
             conf_weight = compute_conf_weight(gan, state.gan, pseudo_dataset,
                                               memory, cfg, None)
 
+        # mode dispatch (parity: ...infomap.py:450-466 bipath /
+        # learnable_memory / gan_train / warmup flags)
         mode = "train_reid"
         pre_kw = {}
         loader_mode = "reid"
         if (epoch + 1) > cfg.gan.warmup_epo:
+            loader_mode = "with_gan"
+            pre_kw = {"gan_height": cfg.data.gan_height,
+                      "gan_width": cfg.data.gan_width,
+                      "pose_file": pose_file, "flip_all": True}
             if cfg.gan.gan_train:
-                mode = "train_all"
-                loader_mode = "with_gan"
-                pre_kw = {"gan_height": cfg.data.gan_height,
-                          "gan_width": cfg.data.gan_width,
-                          "pose_file": pose_file, "flip_all": True}
+                if cfg.gan.bipath:
+                    mode = "train_all_bip"
+                elif cfg.gan.learnable_memory:
+                    mode = "train_all_with_memory"
+                else:
+                    mode = "train_all"
             else:
                 mode = "train"
-                loader_mode = "with_gan"
-                pre_kw = {"gan_height": cfg.data.gan_height,
-                          "gan_width": cfg.data.gan_width,
-                          "pose_file": pose_file, "flip_all": True}
         loader = make_train_loader(pseudo_dataset, cfg.data.height,
                                    cfg.data.width, cfg.data.batch_size,
                                    cfg.data.num_instances,
                                    workers=cfg.data.workers, iters=iters,
                                    seed=cfg.train.seed + epoch,
                                    mode=loader_mode, **pre_kw)
-        state, errs = trainer.run_epoch(state, epoch, loader, mode=mode,
-                                        train_iters=iters,
-                                        print_freq=cfg.train.print_freq,
-                                        base_seed=cfg.train.seed,
-                                        conf_weight=conf_weight)
+        if mode == "train_all_with_memory":
+            from ..ops.cluster_memory import init_gradient_memory
+
+            gmem = init_gradient_memory(np.asarray(memory.features),
+                                        k_pad=memory.features.shape[0])
+            gmem = gmem._replace(num_valid=memory.num_valid)
+            state, gmem, errs = trainer.run_epoch(
+                state, epoch, loader, mode=mode, train_iters=iters,
+                print_freq=cfg.train.print_freq, base_seed=cfg.train.seed,
+                gmem=gmem, cluster_lr=cfg.gan.cluster_lr)
+        else:
+            state, errs = trainer.run_epoch(state, epoch, loader, mode=mode,
+                                            train_iters=iters,
+                                            print_freq=cfg.train.print_freq,
+                                            base_seed=cfg.train.seed,
+                                            conf_weight=conf_weight)
 
         if (epoch + 1) % cfg.train.eval_step == 0 or epoch == epochs - 1:
             extractor.variables = {"params": state.enc_params,

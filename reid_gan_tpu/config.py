@@ -158,13 +158,21 @@ class Config:
     fdgan: FDGANConfig = field(default_factory=FDGANConfig)
 
 
+# short aliases used throughout the reference CLIs
+# (CC/examples/cluster_contrast_train_usl.py:235-260: -b, -a, -d, -j, -n)
+_SHORT_FLAGS = {"batch_size": "-b", "arch": "-a", "dataset": "-d",
+                "workers": "-j", "num_instances": "-n"}
+
+
 def add_dataclass_args(parser, dc_cls, prefix=""):
-    """Expose a dataclass's fields as ``--flag`` argparse options (flat names,
-    matching the reference CLIs)."""
+    """Expose a dataclass's fields as ``--flag`` argparse options (flat names
+    + the reference's short aliases)."""
     for f in fields(dc_cls):
         name = f"--{f.name.replace('_', '-')}"
         alt = f"--{f.name}"
         opts = [name] if name == alt else [name, alt]
+        if f.name in _SHORT_FLAGS:
+            opts.append(_SHORT_FLAGS[f.name])
         if f.type in ("bool", bool):
             parser.add_argument(*opts, dest=prefix + f.name,
                                 action=argparse.BooleanOptionalAction,

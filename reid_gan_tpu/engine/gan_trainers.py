@@ -216,21 +216,190 @@ class ClusterContrastWithGANTrainer:
 
         return step
 
+    def _make_train_all_with_memory_step(self):
+        """'train_all_with_memoery' mode: TRAINABLE cluster memory
+        (ClusterMemory_Gradient, cm.py:140-193) jointly refined by the GAN —
+        images are synthesized from each sample's cluster centroid and the
+        reconstruction gradient updates the centroids with per-row-normalized
+        SGD. The reference path (trainers_b.py:976-1085) calls missing GAN
+        methods and cannot run as shipped (SURVEY.md §2.3); this is the
+        intended semantics built from its live pieces."""
+        from ..ops.cluster_memory import (
+            gradient_memory_loss,
+            update_gradient_clusters,
+        )
+
+        gan = self.gan
+
+        def step(state, gmem, batch, key, cluster_lr):
+            k_aug, k_d = jax.random.split(key)
+            x = reid_augment(k_aug, batch["img"], height=self.h, width=self.w,
+                             train=True)
+            targets = batch["pid"]
+            xs = gan_input_transform(batch["Xs"], self.gan.h, self.gan.w)
+            ps = batch["Ps"]
+            h8, w8 = gan.h // 8, gan.w // 8
+
+            def render_from_clusters(g_params, clusters):
+                cf = clusters * jax.lax.rsqrt(
+                    jnp.sum(clusters * clusters, -1, keepdims=True) + 1e-12)
+                feats = cf[targets]
+                fmap = jnp.broadcast_to(
+                    feats[:, None, None, :],
+                    (feats.shape[0], h8, w8, feats.shape[1]))
+                G = {"params": g_params,
+                     "batch_stats": state.gan.G["batch_stats"]}
+                return gan.synthesize_p(G, fmap, ps)
+
+            fake0 = jax.lax.stop_gradient(render_from_clusters(
+                state.gan.G["params"], gmem.clusters))
+
+            # D step on detached fake
+            def d_loss_fn(d_params):
+                return gan.d_loss(d_params, state.gan.D["batch_stats"], xs,
+                                  fake0, k_d)
+
+            (loss_D, d_bs), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.gan.D["params"])
+            d_updates, opt_D = gan.tx_D.update(d_grads, state.gan.opt_D,
+                                               state.gan.D["params"])
+            d_params = optax.apply_updates(state.gan.D["params"], d_updates)
+            D_new = {"params": d_params, "batch_stats": d_bs}
+
+            # joint step: encoder + G + trainable clusters
+            def joint_loss_fn(packed):
+                enc_params, g_params, clusters = packed
+                f_out, _, bs = self._enc(enc_params, state.enc_batch_stats,
+                                         x, True)
+                fake = render_from_clusters(g_params, clusters)
+                loss_G = gan.get_loss_G(D_new, fake, xs)
+                loss_cl, _ = gradient_memory_loss(
+                    f_out, targets, gmem._replace(clusters=clusters),
+                    temp=self.temp)
+                return loss_cl + loss_G, (bs, loss_cl, loss_G)
+
+            (loss, (bs, loss_cl, loss_G)), grads = jax.value_and_grad(
+                joint_loss_fn, has_aux=True)(
+                    (state.enc_params, state.gan.G["params"], gmem.clusters))
+            enc_grads, g_grads, cluster_grads = grads
+            enc_updates, enc_opt = self.tx.update(enc_grads, state.enc_opt,
+                                                  state.enc_params)
+            enc_params = optax.apply_updates(state.enc_params, enc_updates)
+            g_updates, opt_G = gan.tx_G.update(g_grads, state.gan.opt_G,
+                                               state.gan.G["params"])
+            g_params = optax.apply_updates(state.gan.G["params"], g_updates)
+            # per-row-normalized SGD on the touched cluster rows
+            # (cm.py update_clusters:184-193)
+            touched = jnp.zeros(gmem.clusters.shape[0], bool).at[targets].set(True)
+            gmem = update_gradient_clusters(gmem, cluster_grads, touched,
+                                            cluster_lr=cluster_lr)
+
+            gan_state = state.gan._replace(
+                G={"params": g_params, "batch_stats": state.gan.G["batch_stats"]},
+                D=D_new, opt_G=opt_G, opt_D=opt_D, step=state.gan.step + 1)
+            new = state._replace(enc_params=enc_params, enc_batch_stats=bs,
+                                 enc_opt=enc_opt, gan=gan_state,
+                                 step=state.step + 1)
+            return new, gmem, {"loss": loss, "loss_cl": loss_cl, "G": loss_G,
+                               "D": loss_D}
+
+        return step
+
+    def _make_train_all_bip_step(self):
+        """'train_all_bip' mode: bi-path encoder trained with the memory loss
+        on BOTH unfused paths (encoder called with fuse=False,
+        resnet_bip.py:90-130) plus the standard GAN step on the GAN inputs.
+        The reference path (trainers_b.py:816-974) calls missing GAN methods;
+        this is the intended semantics from its live pieces."""
+        gan = self.gan
+
+        def step(state, batch, key):
+            k_aug, k_d = jax.random.split(key)
+            x = reid_augment(k_aug, batch["img"], height=self.h, width=self.w,
+                             train=True)
+            targets = batch["pid"]
+            xs = gan_input_transform(batch["Xs"], self.gan.h, self.gan.w)
+
+            fake0 = jax.lax.stop_gradient(
+                gan.apply_G(state.gan.G, xs, train=False))
+
+            def d_loss_fn(d_params):
+                return gan.d_loss(d_params, state.gan.D["batch_stats"], xs,
+                                  fake0, k_d)
+
+            (loss_D, d_bs), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.gan.D["params"])
+            d_updates, opt_D = gan.tx_D.update(d_grads, state.gan.opt_D,
+                                               state.gan.D["params"])
+            d_params = optax.apply_updates(state.gan.D["params"], d_updates)
+            D_new = {"params": d_params, "batch_stats": d_bs}
+
+            def joint_loss_fn(packed):
+                enc_params, g_params = packed
+                out, mut = self.encoder.apply(
+                    {"params": enc_params,
+                     "batch_stats": state.enc_batch_stats},
+                    x, train=True, fuse=False, mutable=["batch_stats"])
+                f1, f2 = out["feat"], out["feat2"]
+                l1, _ = memory_loss(f1, targets, state.memory, temp=self.temp)
+                l2, _ = memory_loss(f2, targets, state.memory, temp=self.temp)
+                loss_cl = 0.5 * (l1.mean() + l2.mean())
+                G = {"params": g_params,
+                     "batch_stats": state.gan.G["batch_stats"]}
+                fake = gan.apply_G(G, xs, train=False)
+                loss_G = gan.get_loss_G(D_new, fake, xs)
+                fused = f1 + f2
+                return loss_cl + loss_G, (mut["batch_stats"], fused,
+                                          loss_cl, loss_G)
+
+            (loss, (bs, fused, loss_cl, loss_G)), grads = jax.value_and_grad(
+                joint_loss_fn, has_aux=True)(
+                    (state.enc_params, state.gan.G["params"]))
+            enc_grads, g_grads = grads
+            enc_updates, enc_opt = self.tx.update(enc_grads, state.enc_opt,
+                                                  state.enc_params)
+            enc_params = optax.apply_updates(state.enc_params, enc_updates)
+            g_updates, opt_G = gan.tx_G.update(g_grads, state.gan.opt_G,
+                                               state.gan.G["params"])
+            g_params = optax.apply_updates(state.gan.G["params"], g_updates)
+
+            memory = update_memory(state.memory, fused, targets,
+                                   self.momentum, self.use_hard)
+            gan_state = state.gan._replace(
+                G={"params": g_params, "batch_stats": state.gan.G["batch_stats"]},
+                D=D_new, opt_G=opt_G, opt_D=opt_D, step=state.gan.step + 1)
+            new = state._replace(enc_params=enc_params, enc_batch_stats=bs,
+                                 enc_opt=enc_opt, gan=gan_state, memory=memory,
+                                 step=state.step + 1)
+            return new, {"loss": loss, "loss_cl": loss_cl, "G": loss_G,
+                         "D": loss_D}
+
+        return step
+
     def _get_step(self, mode):
         if mode not in self._steps:
             maker = {"train": self._make_train_step,
                      "train_all": self._make_train_all_step,
-                     "train_reid": self._make_train_reid_step}[mode]
-            donate = (0,)
+                     "train_reid": self._make_train_reid_step,
+                     "train_all_bip": self._make_train_all_bip_step,
+                     "train_all_with_memory": self._make_train_all_with_memory_step,
+                     }[mode]
+            # NOTE: the bip / learnable-memory steps run WITHOUT buffer
+            # donation — donating state buffers that were produced by other
+            # compiled programs (the clustering-phase extractor) trips an
+            # INVALID_ARGUMENT runtime bug on the experimental axon TPU
+            # backend (bisected: same program + same data pass undonated).
+            donate = (0,) if mode in ("train", "train_all", "train_reid") else ()
             self._steps[mode] = jax.jit(maker(), donate_argnums=donate)
         return self._steps[mode]
 
     def run_epoch(self, state, epoch, data_loader, mode="train_all",
                   train_iters=400, print_freq=10, base_seed=0,
-                  conf_weight=None):
+                  conf_weight=None, gmem=None, cluster_lr=0.1):
         """Drive one epoch in the given mode. ``conf_weight``: optional
         (N_dataset,) host array of per-sample confidence weights
-        (trainers_b.py:719-722)."""
+        (trainers_b.py:719-722). ``gmem``: GradientMemoryState for
+        'train_all_with_memory' (returned updated as a third value)."""
         step = self._get_step(mode)
         meters = {}
         batch_time, data_time = AverageMeter(), AverageMeter()
@@ -242,7 +411,8 @@ class ClusterContrastWithGANTrainer:
                    "pid": jnp.asarray(batch["pid"], jnp.int32)}
             if "Xs" in batch:
                 dev["Xs"] = jnp.asarray(batch["Xs"])
-            if "keypoints" in batch and mode == "train_all":
+            if "keypoints" in batch and mode in ("train_all",
+                                                 "train_all_with_memory"):
                 from ..ops.pose import cords_to_map
 
                 pm = jax.vmap(lambda c, o: cords_to_map(
@@ -258,6 +428,9 @@ class ClusterContrastWithGANTrainer:
                 else:
                     cm = jnp.ones(len(batch["pid"]), jnp.float32)
                 state, errs = step(state, dev, key, cm)
+            elif mode == "train_all_with_memory":
+                state, gmem, errs = step(state, gmem, dev, key,
+                                         jnp.asarray(cluster_lr, jnp.float32))
             else:
                 state, errs = step(state, dev, key)
             for k, v in errs.items():
@@ -270,7 +443,10 @@ class ClusterContrastWithGANTrainer:
                 print(f"Epoch: [{epoch}][{i + 1}/{train_iters}]\t"
                       f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
                       f"Data {data_time.val:.3f} ({data_time.avg:.3f})\t{msg}")
-        return state, {k: m.avg for k, m in meters.items()}
+        avg = {k: m.avg for k, m in meters.items()}
+        if mode == "train_all_with_memory":
+            return state, gmem, avg
+        return state, avg
 
 
 class GANTrainer:
