@@ -26,10 +26,14 @@ from ..utils import Logger
 from ..utils.serialization import load_checkpoint, save_checkpoint
 
 
-def main(argv=None, depth=50):
+def main(argv=None, depth=50, mesh=None):
     cfg = parse_config(argv)
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir, "opt.txt")
+    if mesh is None and jax.device_count() > 1:
+        from ..parallel.mesh import get_mesh
+
+        mesh = get_mesh()
 
     if cfg.train.debug:
         depth = 18
@@ -53,7 +57,7 @@ def main(argv=None, depth=50):
         ex = FeatureExtractor(base, {"params": variables["params"]["base_model"],
                                      "batch_stats": variables["batch_stats"]["base_model"]},
                               height=h, width=w, batch_size=cfg.data.batch_size,
-                              dtype=jnp.float32)
+                              dtype=jnp.float32, mesh=mesh)
         return CascadeEvaluator(
             ex, embed,
             variables["params"]["embed_model"],
@@ -72,7 +76,7 @@ def main(argv=None, depth=50):
 
     trainer = SiameseTrainer(model, lr=cfg.optim.lr, momentum=cfg.optim.momentum,
                              weight_decay=cfg.optim.weight_decay,
-                             step_size=cfg.optim.step_size)
+                             step_size=cfg.optim.step_size, mesh=mesh)
     state = trainer.init_state(variables)
 
     epochs = 1 if cfg.train.debug else cfg.train.epochs

@@ -23,16 +23,20 @@ from ..utils.serialization import load_networks, save_networks
 from ..utils.visualizer import Visualizer
 
 
-def main(argv=None):
+def main(argv=None, mesh=None):
     cfg = parse_config(argv)
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir, "opt.txt")
+    if mesh is None and jax.device_count() > 1:
+        from ..parallel.mesh import get_mesh
+
+        mesh = get_mesh()
 
     dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)
     h, w = cfg.data.height, cfg.data.width
 
     model = FDGANModel(cfg.fdgan, height=h, width=w,
-                       depth=18 if cfg.train.debug else 50)
+                       depth=18 if cfg.train.debug else 50, mesh=mesh)
     state = model.init_state(jax.random.PRNGKey(cfg.train.seed))
     save_dir = osp.join(cfg.gan.save_dir, cfg.gan.name)
     if cfg.gan.continue_train:

@@ -28,10 +28,14 @@ from ..utils.serialization import load_networks, save_networks
 from ..utils.visualizer import Visualizer
 
 
-def main(argv=None):
+def main(argv=None, mesh=None):
     cfg = parse_config(argv)
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir)
+    if mesh is None and jax.device_count() > 1:
+        from ..parallel.mesh import get_mesh
+
+        mesh = get_mesh()
 
     dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)
     gan = create_gan(cfg.gan, gan_height=cfg.data.gan_height,
@@ -54,7 +58,7 @@ def main(argv=None):
                         seed=cfg.train.seed)
     it = IterLoader(loader)
     it.new_epoch()
-    trainer = GANTrainer(gan, print_freq=cfg.train.print_freq)
+    trainer = GANTrainer(gan, print_freq=cfg.train.print_freq, mesh=mesh)
     visualizer = Visualizer(cfg.train.logs_dir, name=cfg.gan.name)
 
     epochs = 1 if cfg.train.debug else cfg.train.epochs

@@ -114,8 +114,12 @@ def main(argv=None, mesh=None):
                                  base_seed=cfg.train.seed)
 
         if (epoch + 1) % cfg.train.eval_step == 0 or epoch == epochs - 1:
-            extractor.variables = {"params": state.params,
-                                   "batch_stats": state.batch_stats}
+            eval_vars = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            if mesh is not None:
+                from ..parallel.mesh import replicate
+                eval_vars = replicate(mesh, eval_vars)
+            extractor.variables = eval_vars
             mAP = evaluator.evaluate(test_loader, dataset.query, dataset.gallery,
                                      cmc_flag=False)
             is_best = mAP > best_map
@@ -127,6 +131,24 @@ def main(argv=None, mesh=None):
                             osp.join(cfg.train.logs_dir, "checkpoint.msgpack"))
             print(f"\n * Finished epoch {epoch:3d}  model mAP: {mAP:5.1%} "
                   f" best: {best_map:5.1%}{' *' if is_best else ''}\n")
+
+    # final full-CMC eval with the best checkpoint (parity:
+    # ...infomap.py:518-521 'Test with the best model')
+    best_path = osp.join(cfg.train.logs_dir, "model_best.msgpack")
+    if osp.isfile(best_path) and state is not None:
+        print("==> Test with the best model:")
+        best = load_checkpoint(best_path,
+                               target={"params": state.params,
+                                       "batch_stats": state.batch_stats,
+                                       "epoch": 0, "best_mAP": 0.0})
+        best_vars = {"params": best["params"],
+                     "batch_stats": best["batch_stats"]}
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            best_vars = replicate(mesh, best_vars)
+        extractor.variables = best_vars
+        evaluator.evaluate(test_loader, dataset.query, dataset.gallery,
+                           cmc_flag=True)
 
     dt = time.monotonic() - start
     print(f"Total running time: {dt / 3600:.0f}h {dt % 3600 / 60:.0f}m {dt % 60:.0f}s")

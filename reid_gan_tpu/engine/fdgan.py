@@ -24,7 +24,7 @@ import optax
 from ..ops.transforms import normalize, random_erasing, random_hflip, to_float
 from ..utils import AverageMeter
 from .evaluators import extract_features as _extract
-from .metrics import accuracy, cmc, mean_ap
+from .metrics import accuracy, cmc, rank_metrics
 
 
 class SiameseTrainState(NamedTuple):
@@ -49,8 +49,9 @@ class SiameseTrainer:
     """Stage-I supervised verification baseline."""
 
     def __init__(self, model, lr=0.01, momentum=0.9, weight_decay=5e-4,
-                 step_size=40, iters_per_epoch=None):
+                 step_size=40, iters_per_epoch=None, mesh=None):
         self.model = model
+        self.mesh = mesh   # DataParallel replacement (FD/baseline.py:100)
         self.base_lr = lr
         self.step_size = step_size
         self.tx = optax.inject_hyperparams(
@@ -82,15 +83,23 @@ class SiameseTrainer:
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
     def init_state(self, variables):
-        return SiameseTrainState(variables["params"], variables["batch_stats"],
-                                 self.tx.init(variables["params"]),
-                                 jnp.zeros((), jnp.int32))
+        state = SiameseTrainState(variables["params"],
+                                  variables["batch_stats"],
+                                  self.tx.init(variables["params"]),
+                                  jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            state = replicate(self.mesh, state)
+        return state
 
     def adjust_lr(self, state, epoch):
-        """lr = base · 0.1^(epoch // step_size) (FD/baseline.py:135-139)."""
+        """lr = base · 0.1^(epoch // step_size) (FD/baseline.py:135-139).
+        FUNCTIONAL: returns a new state."""
         lr = self.base_lr * 0.1 ** (epoch // self.step_size)
-        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
-        return state
+        opt = state.opt_state._replace(hyperparams=dict(
+            state.opt_state.hyperparams, learning_rate=jnp.asarray(lr)))
+        return state._replace(opt_state=opt)
 
     def train(self, state, epoch, data_loader, print_freq=1, base_seed=0):
         batch_time, data_time = AverageMeter(), AverageMeter()
@@ -101,8 +110,14 @@ class SiameseTrainer:
             data_time.update(time.time() - end)
             targets = (b1["pid"] == b2["pid"]).astype(np.int32)
             key = jax.random.PRNGKey(base_seed * 131071 + epoch * 8191 + i)
+            img1, img2 = np.asarray(b1["img"]), np.asarray(b2["img"])
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                img1, img2, targets = shard_batch(
+                    self.mesh, (img1, img2, targets))
             state, loss, logits = self._step(
-                state, jnp.asarray(b1["img"]), jnp.asarray(b2["img"]),
+                state, jnp.asarray(img1), jnp.asarray(img2),
                 jnp.asarray(targets), key)
             prec, = accuracy(np.asarray(logits), targets)
             n = len(targets)
@@ -121,12 +136,15 @@ class SiameseTrainer:
 
 def fd_evaluate_all(distmat, query=None, gallery=None, cmc_topk=(1, 5, 10),
                     dataset=None, top1=True):
-    """3-config CMC table (FD/reid/evaluators.py:101-181)."""
+    """3-config CMC table (FD/reid/evaluators.py:101-181). allshots/market
+    CMC and mAP come from fused rank passes (on-device with an accelerator);
+    the cuhk03 random-sampling mode keeps the reference loop."""
     query_ids = [pid for _, pid, _ in query]
     gallery_ids = [pid for _, pid, _ in gallery]
     query_cams = [cam for _, _, cam in query]
     gallery_cams = [cam for _, _, cam in gallery]
-    mAP = mean_ap(distmat, query_ids, gallery_ids, query_cams, gallery_cams)
+    _, mAP = rank_metrics(distmat, query_ids, gallery_ids, query_cams,
+                          gallery_cams, topk=1, backend="auto")
     print("Mean AP: {:4.1%}".format(mAP))
     if not top1:
         return mAP
@@ -147,9 +165,17 @@ def fd_evaluate_all(distmat, query=None, gallery=None, cmc_topk=(1, 5, 10),
         configs = {"market1501": dict(separate_camera_set=False,
                                       single_gallery_shot=False,
                                       first_match_break=True)}
-    scores = {name: cmc(distmat, query_ids, gallery_ids, query_cams,
-                        gallery_cams, seed=0, **params)
-              for name, params in configs.items()}
+    def one_cmc(params):
+        if params.get("single_gallery_shot"):
+            return cmc(distmat, query_ids, gallery_ids, query_cams,
+                       gallery_cams, seed=0, **params)
+        curve, _ = rank_metrics(
+            distmat, query_ids, gallery_ids, query_cams, gallery_cams,
+            separate_camera_set=params["separate_camera_set"],
+            first_match_break=params["first_match_break"], backend="auto")
+        return curve
+
+    scores = {name: one_cmc(params) for name, params in configs.items()}
     names = list(configs)
     print("CMC Scores" + "".join(f"{n:>12}" for n in names))
     for k in cmc_topk:

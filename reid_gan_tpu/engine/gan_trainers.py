@@ -24,7 +24,9 @@ import numpy as np
 import optax
 
 from ..ops.cluster_memory import MemoryState, memory_loss, update_memory
+from ..ops.pose import cords_to_map as _cords_to_map
 from ..ops.transforms import diff_transform, gan_input_transform, reid_augment
+from ..parallel.mesh import replicate, shard_batch
 from ..utils import AverageMeter
 from .trainers import make_optimizer
 
@@ -42,9 +44,13 @@ class ClusterContrastWithGANTrainer:
     def __init__(self, encoder, gan, height=256, width=128, temp=0.05,
                  momentum=0.2, use_hard=False, lr=3.5e-4, weight_decay=5e-4,
                  step_size=20, iters_per_epoch=400, num_instances=16,
-                 cl_temp=0.05):
+                 cl_temp=0.05, mesh=None):
         self.encoder = encoder
         self.gan = gan                      # AEModel engine
+        self.mesh = mesh                    # 1-D data mesh (DataParallel
+        #   replacement: CC/dual_gan/models/base_function.py:93-102 wraps
+        #   every net in nn.DataParallel; here state is replicated, the
+        #   batch sharded, and XLA inserts the gradient psum)
         self.temp = temp
         self.momentum = momentum
         self.use_hard = use_hard
@@ -53,16 +59,25 @@ class ClusterContrastWithGANTrainer:
         self.h, self.w = height, width
         self.tx = make_optimizer(lr, weight_decay, step_size, iters_per_epoch)
         self._steps = {}
+        gh, gw = gan.h, gan.w
+        self._render_pose = jax.jit(lambda kp, osz: jnp.transpose(
+            jax.vmap(lambda c, o: _cords_to_map(c, o, gh, gw))(kp, osz),
+            (0, 2, 3, 1)))
 
     def init_state(self, enc_variables, gan_state, memory):
-        return JointState(
+        state = JointState(
             enc_params=enc_variables["params"],
             enc_batch_stats=enc_variables["batch_stats"],
             enc_opt=self.tx.init(enc_variables["params"]),
             gan=gan_state, memory=memory,
             step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        return state
 
     def set_memory(self, state, memory):
+        if self.mesh is not None:
+            memory = replicate(self.mesh, memory)
         return state._replace(memory=memory)
 
     # ------------------------------------------------------------- enc fwd
@@ -175,8 +190,13 @@ class ClusterContrastWithGANTrainer:
                                                state.gan.G["params"])
             g_params = optax.apply_updates(state.gan.G["params"], g_updates)
 
+            # feed the parallel CM_gan bank with the pooled GAN conditioning
+            # features (reference trainers.py:161-169 passes
+            # gan_inputs=f_gan.detach(); cm.py:99-103 momentum-updates the
+            # twin bank) — a no-op when the bank is empty
             memory = update_memory(state.memory, f_out, targets,
-                                   self.momentum, self.use_hard)
+                                   self.momentum, self.use_hard,
+                                   gan_x=jnp.mean(f_gan0, axis=(1, 2)))
             gan_state = state.gan._replace(
                 G={"params": g_params, "batch_stats": state.gan.G["batch_stats"]},
                 D=D_new, opt_G=opt_G, opt_D=opt_D, step=state.gan.step + 1)
@@ -404,29 +424,38 @@ class ClusterContrastWithGANTrainer:
         meters = {}
         batch_time, data_time = AverageMeter(), AverageMeter()
         end = time.time()
+        if self.mesh is not None and gmem is not None:
+            gmem = replicate(self.mesh, gmem)
         for i in range(train_iters):
             batch = data_loader.next()
             data_time.update(time.time() - end)
-            dev = {"img": jnp.asarray(batch["img"]),
-                   "pid": jnp.asarray(batch["pid"], jnp.int32)}
+            dev = {"img": np.asarray(batch["img"]),
+                   "pid": np.asarray(batch["pid"], np.int32)}
             if "Xs" in batch:
-                dev["Xs"] = jnp.asarray(batch["Xs"])
-            if "keypoints" in batch and mode in ("train_all",
-                                                 "train_all_with_memory"):
-                from ..ops.pose import cords_to_map
-
-                pm = jax.vmap(lambda c, o: cords_to_map(
-                    c, o, self.gan.h, self.gan.w))(
-                        jnp.asarray(batch["keypoints"], jnp.float32),
-                        jnp.asarray(batch["old_size"], jnp.float32))
-                dev["Ps"] = jnp.transpose(pm, (0, 2, 3, 1))
-            key = jax.random.PRNGKey(base_seed + epoch * train_iters + i)
+                dev["Xs"] = np.asarray(batch["Xs"])
+            render_pose = ("keypoints" in batch and
+                           mode in ("train_all", "train_all_with_memory"))
+            if render_pose:
+                dev["keypoints"] = np.asarray(batch["keypoints"], np.float32)
+                dev["old_size"] = np.asarray(batch["old_size"], np.float32)
+            cm = None
             if mode == "train_all":
                 if conf_weight is not None:
-                    cm = jnp.asarray(conf_weight[np.asarray(batch["index"])],
-                                     jnp.float32)
+                    cm = np.asarray(conf_weight[np.asarray(batch["index"])],
+                                    np.float32)
                 else:
-                    cm = jnp.ones(len(batch["pid"]), jnp.float32)
+                    cm = np.ones(len(batch["pid"]), np.float32)
+                dev["conf"] = cm
+            if self.mesh is not None:
+                dev = shard_batch(self.mesh, dev)
+            else:
+                dev = {k: jnp.asarray(v) for k, v in dev.items()}
+            if render_pose:
+                dev["Ps"] = self._render_pose(dev.pop("keypoints"),
+                                              dev.pop("old_size"))
+            key = jax.random.PRNGKey(base_seed + epoch * train_iters + i)
+            if mode == "train_all":
+                cm = dev.pop("conf")
                 state, errs = step(state, dev, key, cm)
             elif mode == "train_all_with_memory":
                 state, gmem, errs = step(state, gmem, dev, key,
@@ -452,18 +481,26 @@ class ClusterContrastWithGANTrainer:
 class GANTrainer:
     """Standalone GAN pretraining (trainers.py:273-335)."""
 
-    def __init__(self, gan, print_freq=100):
+    def __init__(self, gan, print_freq=100, mesh=None):
         self.gan = gan
         self.print_freq = print_freq
+        self.mesh = mesh
 
     def train_gan(self, gan_state, epoch, gan_loader, train_iters=400,
                   base_seed=0):
         meters = {}
+        if self.mesh is not None:
+            gan_state = replicate(self.mesh, gan_state)
         for i in range(train_iters):
             batch = gan_loader.next()
-            dev = {"Xs": gan_input_transform(jnp.asarray(batch["Xs"]))}
+            dev = {"Xs": np.asarray(batch["Xs"])}
             if "Ps" in batch:
-                dev["Ps"] = jnp.asarray(batch["Ps"])
+                dev["Ps"] = np.asarray(batch["Ps"])
+            if self.mesh is not None:
+                dev = shard_batch(self.mesh, dev)
+            dev["Xs"] = gan_input_transform(jnp.asarray(dev["Xs"]))
+            if "Ps" in dev:
+                dev["Ps"] = jnp.asarray(dev["Ps"])
             key = jax.random.PRNGKey(base_seed + epoch * train_iters + i)
             gan_state, errs, _ = self.gan._step(gan_state, dev, key)
             for k, v in errs.items():

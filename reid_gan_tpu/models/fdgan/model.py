@@ -71,8 +71,12 @@ def lambda_rule(epoch, niter, niter_decay):
 class FDGANModel:
     """Functional engine. Build, then drive with train_epoch/optimize_step."""
 
-    def __init__(self, cfg, height=256, width=128, depth=50, smooth=None):
+    def __init__(self, cfg, height=256, width=128, depth=50, smooth=None,
+                 mesh=None):
         self.cfg = cfg
+        self.mesh = mesh   # 1-D data mesh; the reference wraps all four nets
+        # in nn.DataParallel (FD/fdgan/model.py:67-70) — here the state is
+        # replicated and the pair batch sharded over the data axis.
         self.height, self.width = height, width
         self.stage = cfg.stage
         self.smooth = cfg.smooth_label if smooth is None else smooth
@@ -120,21 +124,31 @@ class FDGANModel:
         def g_params(E, G):
             return {"G": G["params"], **({"E": E["params"]} if self.stage == 2 else {})}
 
-        return FDGANState(
+        state = FDGANState(
             E=E, G=G, Di=Di, Dp=Dp,
             opt_G=self.tx_G.init(g_params(E, G)),
             opt_Di=self.tx_Di.init(Di["params"]),
             opt_Dp=self.tx_Dp.init(Dp["params"]),
             step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            from ...parallel.mesh import replicate
+
+            state = replicate(self.mesh, state)
+        return state
 
     def set_epoch_lr(self, state, epoch):
-        """LambdaLR linear decay, stepped per epoch (networks.py:37-42)."""
+        """LambdaLR linear decay, stepped per epoch (networks.py:37-42).
+        FUNCTIONAL: returns a new state (survives restore/donation)."""
         mult = lambda_rule(epoch, self.cfg.niter, self.cfg.niter_decay)
         g, di, dp = self._base_lrs
-        state.opt_G.hyperparams["learning_rate"] = jnp.asarray(g * mult)
-        state.opt_Di.hyperparams["lr_"] = jnp.asarray(di * mult)
-        state.opt_Dp.hyperparams["lr_"] = jnp.asarray(dp * mult)
-        return state
+        return state._replace(
+            opt_G=state.opt_G._replace(hyperparams=dict(
+                state.opt_G.hyperparams,
+                learning_rate=jnp.asarray(g * mult))),
+            opt_Di=state.opt_Di._replace(hyperparams=dict(
+                state.opt_Di.hyperparams, lr_=jnp.asarray(di * mult))),
+            opt_Dp=state.opt_Dp._replace(hyperparams=dict(
+                state.opt_Dp.hyperparams, lr_=jnp.asarray(dp * mult))))
 
     # ----------------------------------------------------------- preprocess
     def _preprocess(self, key, batch1, batch2):
@@ -143,7 +157,8 @@ class FDGANModel:
         the train aug (random-erase + flip + normalize), target gets the plain
         transform, posemaps are rendered from landmarks and flipped jointly
         with the target."""
-        k_e1, k_e2, k_f1, k_f2, k_n = jax.random.split(key, 5)
+        k_e1, k_e2, k_p1, k_p2, k_n = jax.random.split(key, 5)
+        pose_aug = getattr(self.cfg, "pose_aug", "no")
 
         def origin_aug(k, img_u8):
             ke, kf = jax.random.split(k)
@@ -153,10 +168,26 @@ class FDGANModel:
             x, _ = random_hflip(kf, x)
             return normalize(x)
 
-        def target_and_pose(img_u8, landmark, flip):
+        def target_and_pose(k, img_u8, landmark, flip):
             t = normalize(to_float(img_u8))
-            pm = jax.vmap(lambda lm: render_pose_peaks(
-                lm, height=self.height, width=self.width, sigma=5.0))(landmark)
+            n = landmark.shape[0]
+            # --pose-aug (FD/reid/utils/data/preprocessor.py:114-131):
+            # 'erase' drops one random channel per sample; 'gauss' draws
+            # σ ∈ {4,5,6} per sample
+            if pose_aug == "erase":
+                idx = jax.random.randint(k, (n,), 0, landmark.shape[1])
+                pm = jax.vmap(lambda lm, i: render_pose_peaks(
+                    lm, height=self.height, width=self.width, sigma=5.0,
+                    erase_index=i))(landmark, idx)
+            elif pose_aug == "gauss":
+                sig = jax.random.randint(k, (n,), 4, 7).astype(jnp.float32)
+                pm = jax.vmap(lambda lm, s: render_pose_peaks(
+                    lm, height=self.height, width=self.width,
+                    sigma=s))(landmark, sig)
+            else:
+                pm = jax.vmap(lambda lm: render_pose_peaks(
+                    lm, height=self.height, width=self.width,
+                    sigma=5.0))(landmark)
             pm = jnp.transpose(pm, (0, 2, 3, 1))           # (N,H,W,18)
             flip4 = flip[:, None, None, None]
             t = jnp.where(flip4, t[:, :, ::-1, :], t)
@@ -165,9 +196,9 @@ class FDGANModel:
 
         o1 = origin_aug(k_e1, batch1["img"])
         o2 = origin_aug(k_e2, batch2["img"])
-        t1, pm1 = target_and_pose(batch1["target"], batch1["landmark"],
+        t1, pm1 = target_and_pose(k_p1, batch1["target"], batch1["landmark"],
                                   batch1["flip"])
-        t2, pm2 = target_and_pose(batch2["target"], batch2["landmark"],
+        t2, pm2 = target_and_pose(k_p2, batch2["target"], batch2["landmark"],
                                   batch2["flip"])
         labels = (batch1["pid"] == batch2["pid"]).astype(jnp.int32)
         m4 = labels[:, None, None, None].astype(jnp.float32)
@@ -323,11 +354,19 @@ class FDGANModel:
 
     def optimize_step(self, state, batch1, batch2, key):
         """One adversarial iteration: Di → Dp → G (model.py:216-229)."""
-        def to_dev(b):
-            return {"img": jnp.asarray(b["img"]),
-                    "target": jnp.asarray(b["target"]),
-                    "landmark": jnp.asarray(b["landmark"], jnp.float32),
-                    "flip": jnp.asarray(b["flip"], bool),
-                    "pid": jnp.asarray(b["pid"], jnp.int32)}
+        def to_host(b):
+            return {"img": np.asarray(b["img"]),
+                    "target": np.asarray(b["target"]),
+                    "landmark": np.asarray(b["landmark"], np.float32),
+                    "flip": np.asarray(b["flip"], bool),
+                    "pid": np.asarray(b["pid"], np.int32)}
 
-        return self._step(state, to_dev(batch1), to_dev(batch2), key)
+        b1, b2 = to_host(batch1), to_host(batch2)
+        if self.mesh is not None:
+            from ...parallel.mesh import shard_batch
+
+            b1, b2 = shard_batch(self.mesh, (b1, b2))
+        else:
+            b1 = {k: jnp.asarray(v) for k, v in b1.items()}
+            b2 = {k: jnp.asarray(v) for k, v in b2.items()}
+        return self._step(state, b1, b2, key)

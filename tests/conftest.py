@@ -18,6 +18,20 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# A TPU-attached environment may register its PJRT plugin from
+# sitecustomize and set jax_platforms programmatically (which overrides the
+# env var). Force the CPU backend explicitly so the suite never rides a
+# live TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Persistent compilation cache: the mesh-equivalence tests compile large
+# joint-GAN programs twice each (single-device + 8-device); caching the
+# executables makes suite re-runs minutes instead of tens of minutes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 @pytest.fixture(scope="session")
 def devices():
