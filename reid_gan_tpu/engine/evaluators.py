@@ -19,7 +19,7 @@ from ..ops.jaccard import re_ranking
 from ..ops.transforms import reid_augment
 from ..parallel.mesh import batch_sharding, replicate, shard_batch
 from ..utils import AverageMeter
-from .metrics import cmc, mean_ap
+from .metrics import cmc, mean_ap, rank_metrics  # noqa: F401 (cmc/mean_ap re-exported)
 
 
 class FeatureExtractor:
@@ -125,19 +125,19 @@ def evaluate_all(distmat, query=None, gallery=None,
                  query_ids=None, gallery_ids=None,
                  query_cams=None, gallery_cams=None,
                  cmc_topk=(1, 5, 10), cmc_flag=False):
-    """mAP + market1501-mode CMC (parity: evaluators.py:91-122)."""
+    """mAP + market1501-mode CMC (parity: evaluators.py:91-122). Both come
+    from ONE fused rank pass, on-device when an accelerator is present."""
     if query is not None and gallery is not None:
         query_ids = [pid for _, pid, _ in query]
         gallery_ids = [pid for _, pid, _ in gallery]
         query_cams = [cam for _, _, cam in query]
         gallery_cams = [cam for _, _, cam in gallery]
-    mAP = mean_ap(distmat, query_ids, gallery_ids, query_cams, gallery_cams)
+    scores, mAP = rank_metrics(distmat, query_ids, gallery_ids, query_cams,
+                               gallery_cams, separate_camera_set=False,
+                               first_match_break=True, backend="auto")
     print("Mean AP: {:4.1%}".format(mAP))
     if not cmc_flag:
         return mAP
-    scores = cmc(distmat, query_ids, gallery_ids, query_cams, gallery_cams,
-                 separate_camera_set=False, single_gallery_shot=False,
-                 first_match_break=True)
     print("CMC Scores:")
     for k in cmc_topk:
         print("  top-{:<4}{:12.1%}".format(k, scores[k - 1]))
@@ -151,7 +151,7 @@ class Evaluator:
         self.extractor = extractor
 
     def evaluate(self, data_loader, query, gallery, cmc_flag=False, rerank=False):
-        features, _ = extract_features(self.extractor, data_loader)
+        features = extract_features(self.extractor, data_loader)[0]
         distmat, _, _ = pairwise_distance(features, query, gallery)
         results = evaluate_all(distmat, query=query, gallery=gallery, cmc_flag=cmc_flag)
         if not rerank:

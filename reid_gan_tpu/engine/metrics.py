@@ -1,12 +1,26 @@
 """Evaluation metrics: CMC curves and mean average precision.
 
 Parity: {FD/reid,CC/clustercontrast}/evaluation_metrics/ranking.py:18-115
-(the two files are diff-identical, SURVEY.md C13). mAP uses our own
-average-precision (sort + cumsum over distinct score thresholds) which is
-bit-comparable with sklearn.average_precision_score — verified in
-tests/test_metrics.py — removing the sklearn native dependency
-(SURVEY.md §2.4). ``accuracy`` mirrors FD/reid/evaluation_metrics/
-classification.py:6-19.
+(the two files are diff-identical, SURVEY.md C13). mAP uses the exact
+distinct-threshold average precision of sklearn.average_precision_score —
+verified bit-equal in tests/test_metrics.py — removing the sklearn native
+dependency (SURVEY.md §2.4). ``accuracy`` mirrors
+FD/reid/evaluation_metrics/classification.py:6-19.
+
+The reference evaluates with an O(m) interpreted Python loop over queries
+(ranking.py:40-76). Here both CMC and mAP come out of ONE chunked rank pass:
+argsort → valid/match masks → scatter-compact to valid-rank positions →
+cumsum statistics. The same algorithm has two backends:
+
+- numpy (host, query-chunked, int32/float32 — no (m·n) int64 temporaries);
+- a jitted JAX kernel (``rank_metrics(..., backend="jax")``) that runs the
+  whole pass on the accelerator, where the distance matrix already lives.
+
+The per-query loop survives as the ``single_gallery_shot`` (cuhk03
+random-sampling) mode and as the parity oracles ``_cmc_loop``/
+``_mean_ap_loop`` used by the tests. Tie handling is exact: AP uses the
+distinct-threshold formula (tie-group-end precision), CMC follows the sort
+order, which for the numpy backend is the reference's own np.argsort order.
 """
 
 from collections import defaultdict
@@ -55,13 +69,228 @@ def _unique_sample(ids_dict, num, rng):
     return mask
 
 
+# --------------------------------------------------------------------------
+# One-pass chunked rank statistics (numpy backend)
+# --------------------------------------------------------------------------
+
+def _chunk_stats_numpy(d, qid, qcam, gids, gcams, separate_camera_set):
+    """Rank statistics for a chunk of queries (q, n).
+
+    Returns (ap (q,), first_bin (q,), comp_y (q,n) match-at-valid-rank,
+    tps (q,n) cumulative matches, num_matches (q,)) — everything downstream
+    (mAP, market CMC, allshots CMC) reads off these.
+    """
+    q, n = d.shape
+    order = np.argsort(d, axis=1)              # same sort as the reference
+    d_s = np.take_along_axis(d, order, axis=1)
+    g_id = gids[order]
+    g_cam = gcams[order]
+    match = g_id == qid[:, None]
+    valid = (g_id != qid[:, None]) | (g_cam != qcam[:, None])
+    if separate_camera_set:
+        valid &= g_cam != qcam[:, None]
+    vrank = np.cumsum(valid, axis=1, dtype=np.int32)     # 1-based valid rank
+    rows, cols = np.nonzero(valid)
+    vcols = vrank[rows, cols] - 1
+    # compact to valid-rank positions; one inf pad column terminates runs
+    comp_d = np.full((q, n + 1), np.inf, d.dtype)
+    comp_y = np.zeros((q, n), bool)
+    comp_d[rows, vcols] = d_s[rows, cols]
+    comp_y[rows, vcols] = match[rows, cols]
+    tps = np.cumsum(comp_y, axis=1, dtype=np.int32)
+    num_matches = tps[:, -1]
+    # tie-group end per position: smallest j' ≥ j with comp_d[j'] ≠ comp_d[j'+1]
+    is_end = comp_d[:, 1:] != comp_d[:, :n]
+    ar = np.arange(n, dtype=np.int32)
+    cand = np.where(is_end, ar, np.int32(n - 1))
+    end_idx = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1]
+    prec_end = tps[np.arange(q)[:, None], end_idx] / (
+        end_idx.astype(np.float64) + 1.0)
+    ap = np.where(comp_y, prec_end, 0.0).sum(axis=1) / np.maximum(
+        num_matches, 1)
+    first_bin = np.argmax(comp_y, axis=1).astype(np.int32)  # valid iff P>0
+    return ap, first_bin, comp_y, tps, num_matches
+
+
+def _rank_metrics_numpy(distmat, query_ids, gallery_ids, query_cams,
+                        gallery_cams, topk, separate_camera_set,
+                        first_match_break, chunk=512):
+    m, n = distmat.shape
+    ret = np.zeros(topk)
+    ap_sum, valid_q = 0.0, 0
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        ap, first_bin, comp_y, tps, num_matches = _chunk_stats_numpy(
+            distmat[s:e], query_ids[s:e], query_cams[s:e], gallery_ids,
+            gallery_cams, separate_camera_set)
+        has = num_matches > 0
+        ap_sum += ap[has].sum()
+        valid_q += int(has.sum())
+        if first_match_break:
+            bins = first_bin[has]
+            np.add.at(ret, bins[bins < topk], 1.0)
+        else:
+            # allshots: j-th match lands in bin (valid_rank − j), weight 1/P
+            # (ranking.py:62-70)
+            bins = (np.arange(n, dtype=np.int32)[None] - (tps - 1))[comp_y]
+            weights = np.repeat(
+                np.divide(1.0, num_matches, where=has,
+                          out=np.zeros(len(num_matches))), num_matches)
+            keep = bins < topk
+            np.add.at(ret, bins[keep], weights[keep])
+    if valid_q == 0:
+        raise RuntimeError("No valid query")
+    return ret.cumsum() / valid_q, ap_sum / valid_q
+
+
+# --------------------------------------------------------------------------
+# One-pass rank statistics (jitted JAX backend — sort + cumsums on device)
+# --------------------------------------------------------------------------
+
+def _chunk_stats_jax(topk, separate_camera_set, first_match_break):
+    import jax
+    import jax.numpy as jnp
+
+    def kernel(d, qid, qcam, gids, gcams):
+        q, n = d.shape
+        order = jnp.argsort(d, axis=1)          # stable sort on device
+        d_s = jnp.take_along_axis(d, order, axis=1)
+        g_id = gids[order]
+        g_cam = gcams[order]
+        match = g_id == qid[:, None]
+        valid = (g_id != qid[:, None]) | (g_cam != qcam[:, None])
+        if separate_camera_set:
+            valid &= g_cam != qcam[:, None]
+        vrank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+        vcols = jnp.where(valid, vrank - 1, n)       # n → OOB for (q, n): drop
+        vcols_d = jnp.where(valid, vrank - 1, n + 1)  # n+1 → OOB for (q, n+1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (q, n), 0)
+        comp_d = jnp.full((q, n + 1), jnp.inf, d.dtype)
+        comp_d = comp_d.at[rows, vcols_d].set(d_s, mode="drop")
+        comp_y = jnp.zeros((q, n), bool).at[rows, vcols].set(
+            match, mode="drop")
+        tps = jnp.cumsum(comp_y.astype(jnp.int32), axis=1)
+        num_matches = tps[:, -1]
+        is_end = comp_d[:, 1:] != comp_d[:, :n]
+        ar = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+        cand = jnp.where(is_end, ar, n - 1)
+        end_idx = jax.lax.cummin(cand, axis=1, reverse=True)
+        prec_end = jnp.take_along_axis(tps, end_idx, axis=1) / (
+            end_idx.astype(jnp.float32) + 1.0)
+        ap = jnp.where(comp_y, prec_end, 0.0).sum(axis=1) / jnp.maximum(
+            num_matches, 1)
+        has = num_matches > 0
+        hist = jnp.zeros((topk,), jnp.float32)
+        if first_match_break:
+            first_bin = jnp.argmax(comp_y, axis=1)
+            first_bin = jnp.where(has, first_bin, topk)  # dropped
+            hist = hist.at[first_bin].add(1.0, mode="drop")
+        else:
+            bins = ar - (tps - 1)
+            w = jnp.where(comp_y & has[:, None],
+                          1.0 / jnp.maximum(num_matches, 1)[:, None], 0.0)
+            hist = hist.at[jnp.where(comp_y, bins, topk)].add(
+                w, mode="drop")
+        return hist, jnp.where(has, ap, 0.0).sum(), has.sum()
+
+    return kernel
+
+
+_JAX_KERNELS = {}
+
+
+def _rank_metrics_jax(distmat, query_ids, gallery_ids, query_cams,
+                      gallery_cams, topk, separate_camera_set,
+                      first_match_break, chunk=1024):
+    import jax
+    import jax.numpy as jnp
+
+    key = (topk, separate_camera_set, first_match_break)
+    if key not in _JAX_KERNELS:
+        _JAX_KERNELS[key] = jax.jit(_chunk_stats_jax(*key))
+    kernel = _JAX_KERNELS[key]
+    m, n = distmat.shape
+    gids = jnp.asarray(gallery_ids, jnp.int32)
+    gcams = jnp.asarray(gallery_cams, jnp.int32)
+    ret = np.zeros(topk)
+    ap_sum, valid_q = 0.0, 0
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        d = np.asarray(distmat[s:e], np.float32)
+        qid = np.asarray(query_ids[s:e], np.int32)
+        qcam = np.asarray(query_cams[s:e], np.int32)
+        if e - s < chunk:      # pad to the static chunk shape
+            pad = chunk - (e - s)
+            d = np.pad(d, ((0, pad), (0, 0)))
+            qid = np.pad(qid, (0, pad), constant_values=-1)  # never matches
+            qcam = np.pad(qcam, (0, pad), constant_values=-1)
+        hist, ap, nv = kernel(jnp.asarray(d), jnp.asarray(qid),
+                              jnp.asarray(qcam), gids, gcams)
+        ret += np.asarray(hist, np.float64)
+        ap_sum += float(ap)
+        valid_q += int(nv)
+    if valid_q == 0:
+        raise RuntimeError("No valid query")
+    return ret.cumsum() / valid_q, ap_sum / valid_q
+
+
+def rank_metrics(distmat, query_ids=None, gallery_ids=None, query_cams=None,
+                 gallery_cams=None, topk=100, separate_camera_set=False,
+                 first_match_break=True, backend="auto"):
+    """Fused CMC + mAP in one rank pass. backend: 'numpy' | 'jax' | 'auto'
+    (jax when the default backend is an accelerator)."""
+    distmat = to_numpy(distmat)
+    m, n = distmat.shape
+    query_ids, gallery_ids, query_cams, gallery_cams = _default_ids_cams(
+        m, n, query_ids, gallery_ids, query_cams, gallery_cams)
+    if backend == "auto":
+        import jax
+
+        backend = "jax" if jax.default_backend() not in ("cpu",) else "numpy"
+    fn = _rank_metrics_jax if backend == "jax" else _rank_metrics_numpy
+    return fn(distmat, query_ids, gallery_ids, query_cams, gallery_cams,
+              topk, separate_camera_set, first_match_break)
+
+
 def cmc(distmat, query_ids=None, gallery_ids=None,
         query_cams=None, gallery_cams=None, topk=100,
         separate_camera_set=False, single_gallery_shot=False,
-        first_match_break=False, seed=None):
+        first_match_break=False, seed=None, backend="numpy"):
     """Cumulative Matching Characteristics
     (parity: CC/clustercontrast/evaluation_metrics/ranking.py:18-79, with the
-    same allshots / cuhk03 / market1501 mode switches)."""
+    same allshots / cuhk03 / market1501 mode switches). One chunked rank pass
+    except the random-sampling cuhk03 mode, which keeps the reference loop."""
+    if single_gallery_shot:
+        return _cmc_loop(distmat, query_ids, gallery_ids, query_cams,
+                         gallery_cams, topk, separate_camera_set,
+                         single_gallery_shot, first_match_break, seed)
+    curve, _ = rank_metrics(distmat, query_ids, gallery_ids, query_cams,
+                            gallery_cams, topk=topk,
+                            separate_camera_set=separate_camera_set,
+                            first_match_break=first_match_break,
+                            backend=backend)
+    return curve
+
+
+def mean_ap(distmat, query_ids=None, gallery_ids=None,
+            query_cams=None, gallery_cams=None, backend="numpy"):
+    """mAP over valid queries
+    (parity: CC/clustercontrast/evaluation_metrics/ranking.py:82-115);
+    distinct-threshold AP → bit-comparable with sklearn under ties."""
+    _, mAP = rank_metrics(distmat, query_ids, gallery_ids, query_cams,
+                          gallery_cams, topk=1, backend=backend)
+    return mAP
+
+
+# --------------------------------------------------------------------------
+# Reference per-query loops — kept as parity oracles + cuhk03 sampling mode
+# --------------------------------------------------------------------------
+
+def _cmc_loop(distmat, query_ids=None, gallery_ids=None,
+              query_cams=None, gallery_cams=None, topk=100,
+              separate_camera_set=False, single_gallery_shot=False,
+              first_match_break=False, seed=None):
+    """The reference's per-query loop (ranking.py:18-79)."""
     distmat = to_numpy(distmat)
     m, n = distmat.shape
     query_ids, gallery_ids, query_cams, gallery_cams = _default_ids_cams(
@@ -108,10 +337,9 @@ def cmc(distmat, query_ids=None, gallery_ids=None,
     return ret.cumsum() / num_valid_queries
 
 
-def mean_ap(distmat, query_ids=None, gallery_ids=None,
-            query_cams=None, gallery_cams=None):
-    """mAP over valid queries
-    (parity: CC/clustercontrast/evaluation_metrics/ranking.py:82-115)."""
+def _mean_ap_loop(distmat, query_ids=None, gallery_ids=None,
+                  query_cams=None, gallery_cams=None):
+    """Reference per-query loop (ranking.py:82-115) — parity oracle."""
     distmat = to_numpy(distmat)
     m, n = distmat.shape
     query_ids, gallery_ids, query_cams, gallery_cams = _default_ids_cams(
