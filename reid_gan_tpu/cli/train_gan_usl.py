@@ -72,10 +72,14 @@ def compute_conf_weight(gan, gan_state, pseudo_dataset, memory, cfg,
     return conf
 
 
-def main(argv=None):
+def main(argv=None, mesh=None):
     cfg = parse_config(argv)
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir)
+    if mesh is None and jax.device_count() > 1:
+        from ..parallel.mesh import get_mesh
+
+        mesh = get_mesh()
 
     dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)
     pose_file = getattr(dataset, "train_pose_dir", None)
@@ -84,6 +88,22 @@ def main(argv=None):
     gan = create_gan(cfg.gan, gan_height=cfg.data.gan_height,
                      gan_width=cfg.data.gan_width, reid_feat_dim=feat_dim)
     gan_state = gan.init_state(jax.random.PRNGKey(cfg.train.seed))
+    save_dir = osp.join(cfg.gan.save_dir, cfg.gan.name)
+    iter_path = osp.join(save_dir, "iter.txt")
+
+    start_epoch = 0
+    if cfg.gan.continue_train:
+        # restore GAN nets + the epoch counter (parity:
+        # ...infomap.py:249-259 restart_epoch from iter.txt)
+        from ..utils.serialization import load_networks
+
+        nets = load_networks({"G": gan_state.G, "D": gan_state.D}, save_dir,
+                             cfg.gan.which_epoch)
+        gan_state = gan_state._replace(**nets)
+        if osp.isfile(iter_path):
+            start_epoch = int(np.loadtxt(iter_path, delimiter=",",
+                                         dtype=int).reshape(-1)[0])
+            print(f"Resuming from epoch {start_epoch}")
 
     encoder = create_model(cfg.model.arch, norm=cfg.model.norm,
                            pooling_type=cfg.model.pooling_type,
@@ -98,11 +118,13 @@ def main(argv=None):
                                        "epoch": 0, "best_mAP": 0.0})
         enc_vars = {"params": ckpt["params"],
                     "batch_stats": ckpt["batch_stats"]}
+        start_epoch = max(start_epoch, int(ckpt["epoch"]))
 
     extractor = FeatureExtractor(encoder, {"params": enc_vars["params"],
                                            "batch_stats": enc_vars["batch_stats"]},
                                  height=cfg.data.height, width=cfg.data.width,
-                                 batch_size=cfg.data.batch_size)
+                                 batch_size=cfg.data.batch_size, mesh=mesh,
+                                 extra_features=cfg.gan.cluster_with_gan_features)
     evaluator = Evaluator(extractor)
     test_pre = Preprocessor(list(dataset.query) + list(dataset.gallery),
                             mode="reid", height=cfg.data.height,
@@ -116,9 +138,8 @@ def main(argv=None):
         use_hard=cfg.cluster.use_hard, lr=cfg.optim.lr,
         weight_decay=cfg.optim.weight_decay, step_size=cfg.optim.step_size,
         iters_per_epoch=cfg.train.iters, num_instances=cfg.data.num_instances,
-        cl_temp=cfg.gan.cf_temp)
+        cl_temp=cfg.gan.cf_temp, mesh=mesh)
     visualizer = Visualizer(cfg.train.logs_dir, name=cfg.gan.name)
-    save_dir = osp.join(cfg.gan.save_dir, cfg.gan.name)
 
     epochs = 1 if cfg.train.debug else cfg.train.epochs
     iters = 8 if cfg.train.debug else cfg.train.iters
@@ -126,11 +147,15 @@ def main(argv=None):
     best_map = 0.0
     k_pad = cfg.cluster.max_clusters or None
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         variables = ({"params": enc_vars["params"],
                       "batch_stats": enc_vars["batch_stats"]} if state is None
                      else {"params": state.enc_params,
                            "batch_stats": state.enc_batch_stats})
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            variables = replicate(mesh, variables)
         extractor.variables = variables
         memory, pseudo_dataset, num_clusters = cluster_epoch(
             extractor, dataset, list(dataset.train), cfg, k_pad=k_pad,
@@ -190,8 +215,13 @@ def main(argv=None):
                                             conf_weight=conf_weight)
 
         if (epoch + 1) % cfg.train.eval_step == 0 or epoch == epochs - 1:
-            extractor.variables = {"params": state.enc_params,
-                                   "batch_stats": state.enc_batch_stats}
+            eval_vars = {"params": state.enc_params,
+                         "batch_stats": state.enc_batch_stats}
+            if mesh is not None:
+                from ..parallel.mesh import replicate
+
+                eval_vars = replicate(mesh, eval_vars)
+            extractor.variables = eval_vars
             mAP = evaluator.evaluate(test_loader, dataset.query,
                                      dataset.gallery, cmc_flag=False)
             is_best = mAP > best_map
@@ -207,11 +237,31 @@ def main(argv=None):
         if (epoch + 1) > cfg.gan.warmup_epo and cfg.gan.gan_train:
             save_networks({"G": state.gan.G, "D": state.gan.D}, save_dir,
                           "latest")
+            np.savetxt(iter_path, [(epoch + 1, 0)], delimiter=",", fmt="%d")
             # LambdaLR linear decay after niter epochs
             niter = max(1, epochs // 2)
             mult = 1.0 - max(0, epoch + 2 - niter) / float(epochs - niter + 1)
-            gan.set_epoch_lr(state.gan, max(mult, 0.0))
+            state = state._replace(
+                gan=gan.set_epoch_lr(state.gan, max(mult, 0.0)))
             visualizer.print_current_errors(epoch, iters, errs)
+
+    # final eval with the best checkpoint (parity: ...infomap.py:518-521)
+    best_path = osp.join(cfg.train.logs_dir, "model_best.msgpack")
+    if osp.isfile(best_path) and state is not None:
+        print("==> Test with the best model:")
+        best = load_checkpoint(best_path,
+                               target={"params": state.enc_params,
+                                       "batch_stats": state.enc_batch_stats,
+                                       "epoch": 0, "best_mAP": 0.0})
+        best_vars = {"params": best["params"],
+                     "batch_stats": best["batch_stats"]}
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            best_vars = replicate(mesh, best_vars)
+        extractor.variables = best_vars
+        evaluator.evaluate(test_loader, dataset.query, dataset.gallery,
+                           cmc_flag=True)
 
     print("==> Training finished; best mAP {:5.1%}".format(best_map))
     return best_map

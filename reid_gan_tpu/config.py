@@ -101,6 +101,8 @@ class GANConfig:
     lambda_style: float = 0.0
     lambda_content: float = 0.0
     use_vgg: bool = False
+    vgg_weights: str = ""        # path to a torchvision vgg19 .pth state
+    #                              dict; empty → LOUD random-tap warning
     ngf: int = 64
     ndf: int = 64
     z_dim: int = 256
@@ -135,6 +137,8 @@ class FDGANConfig:
     lambda_veri: float = 0.0
     lambda_sp: float = 0.0
     smooth_label: bool = True
+    pose_aug: str = "no"         # no|erase|gauss (FD/train.py:48 →
+    #                              FD/reid/utils/data/preprocessor.py:114-131)
     noise_size: int = 56
     pose_feature_size: int = 128
     drop: float = 0.2

@@ -86,3 +86,27 @@ class JsonDataset(BaseImageDataset):
             print(f"  trainval | {self.num_trainval_ids:5d} | {len(self.trainval):8d}")
             print(f"  query    | {len(self.split['query']):5d} | {len(self.query):8d}")
             print(f"  gallery  | {len(self.split['gallery']):5d} | {len(self.gallery):8d}")
+
+
+class CUHK03(JsonDataset):
+    """CUHK03 in the open-reid json layout (parity:
+    FD/reid/datasets/cuhk03.py — integrity check + `load(num_val)`; the
+    reference ships no converter either, it expects the prepared
+    ``meta.json``/``splits.json``/``images/`` tree). Evaluated with the
+    cuhk03 CMC protocol (single_gallery_shot, separate_camera_set) when
+    ``dataset='cuhk03'`` is passed to fd_evaluate_all."""
+
+    def __init__(self, root, split_id=0, num_val=100, verbose=True, **kwargs):
+        if not self._check_integrity(root):
+            raise RuntimeError(
+                "CUHK03 dataset not found or corrupted at %r. Prepare the "
+                "open-reid layout (meta.json + splits.json + images/) first."
+                % root)
+        super().__init__(root, split_id=split_id, num_val=num_val,
+                         verbose=verbose, **kwargs)
+
+    @staticmethod
+    def _check_integrity(root):
+        return (osp.isfile(osp.join(root, "meta.json"))
+                and osp.isfile(osp.join(root, "splits.json"))
+                and osp.isdir(osp.join(root, "images")))

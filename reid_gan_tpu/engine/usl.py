@@ -66,14 +66,21 @@ def build_pseudo_dataset(train_set, labels):
 
 def extract_train_features(extractor, dataset, train_set, height, width,
                            batch_size=256, workers=4):
-    """Features of the full train set in dataset order → (N, D) array."""
+    """Features of the full train set in dataset order → (N, D) array, plus
+    the pooled GAN features when the extractor runs with extra_features
+    (reference ...infomap.py:309-318 cluster_with_gan_features path)."""
     from .evaluators import extract_features
 
     pre = Preprocessor(train_set, mode="reid", height=height, width=width)
     loader = DataLoader(pre, batch_size=batch_size, drop_last=False,
                         num_workers=workers)
+    if getattr(extractor, "extra", False):
+        features, gan_features, _ = extract_features(extractor, loader,
+                                                     print_freq=1 << 30)
+        return (np.stack([features[f] for f, _, _ in train_set]),
+                np.stack([gan_features[f] for f, _, _ in train_set]))
     features, _ = extract_features(extractor, loader, print_freq=1 << 30)
-    return np.stack([features[f] for f, _, _ in train_set])
+    return np.stack([features[f] for f, _, _ in train_set]), None
 
 
 def make_train_loader(train_set, height, width, batch_size, num_instances,
@@ -90,10 +97,10 @@ def make_train_loader(train_set, height, width, batch_size, num_instances,
 def cluster_epoch(extractor, dataset, train_set, cfg, k_pad=None,
                   backend=None, print_flag=True):
     """One clustering phase → (memory_state, pseudo_dataset, num_clusters)."""
-    feats = extract_train_features(extractor, dataset, train_set,
-                                   cfg.data.height, cfg.data.width,
-                                   batch_size=cfg.data.batch_size,
-                                   workers=cfg.data.workers)
+    feats, gan_feats = extract_train_features(extractor, dataset, train_set,
+                                              cfg.data.height, cfg.data.width,
+                                              batch_size=cfg.data.batch_size,
+                                              workers=cfg.data.workers)
     backend = backend or cfg.cluster.cluster_backend
     if backend == "dbscan":
         labels = pseudo_labels_dbscan(feats, eps=cfg.cluster.eps,
@@ -117,8 +124,12 @@ def cluster_epoch(extractor, dataset, train_set, cfg, k_pad=None,
         print(f"==> Clustered into {num_clusters} classes "
               f"({n_out} outliers)")
     centers = generate_cluster_features(labels, feats)
+    # parallel GAN centroid bank (CM_gan, reference cm.py:99-103 fed from
+    # ...infomap.py:349-370 when cluster_with_gan_features)
+    gan_centers = (generate_cluster_features(labels, gan_feats)
+                   if gan_feats is not None else None)
     # pad-and-mask to a 256-multiple so cluster-count drift between epochs
     # doesn't retrace the jitted train step (SURVEY.md §7 'ragged shapes')
     pad = max(k_pad or 0, 256 * -(-num_clusters // 256))
-    memory = init_memory(centers, k_pad=pad)
+    memory = init_memory(centers, k_pad=pad, gan_centroids=gan_centers)
     return memory, build_pseudo_dataset(train_set, labels), num_clusters
