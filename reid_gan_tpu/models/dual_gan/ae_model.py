@@ -123,11 +123,18 @@ class AEModel:
         return {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
 
     def set_epoch_lr(self, state, mult):
-        state.opt_G.hyperparams["learning_rate"] = jnp.asarray(
-            self.cfg.gan_lr * mult)
-        state.opt_D.hyperparams["learning_rate"] = jnp.asarray(
-            self.cfg.gan_lr * self.cfg.ratio_g2d * mult)
-        return state
+        """FUNCTIONAL per-epoch LR update (the reference steps torch
+        schedulers in place, base_model.py:163-176): returns a new AEState
+        whose optimizer hyperparams carry the decayed LRs, so it survives
+        checkpoint restore / donation."""
+        opt_G = state.opt_G._replace(hyperparams=dict(
+            state.opt_G.hyperparams,
+            learning_rate=jnp.asarray(self.cfg.gan_lr * mult)))
+        opt_D = state.opt_D._replace(hyperparams=dict(
+            state.opt_D.hyperparams,
+            learning_rate=jnp.asarray(self.cfg.gan_lr * self.cfg.ratio_g2d *
+                                      mult)))
+        return state._replace(opt_G=opt_G, opt_D=opt_D)
 
     # ------------------------------------------------- pure forward variants
     def apply_G(self, G, *args, train=False, method=None, mutable=False):

@@ -113,7 +113,25 @@ class VGGLoss:
 
     def __init__(self, params=None, weights=(1.0, 1.0, 1.0, 1.0, 1.0)):
         self.model = VGG19()
+        self.pretrained = params is not None
         if params is None:
+            # LOUD: the reference loads torchvision-pretrained VGG19
+            # (CC/dual_gan/models/external_function.py:226-347). Without
+            # weights this degrades to a fixed random-projection perceptual
+            # loss — still a valid training signal, but NOT the paper's.
+            # Provide weights via VGGLoss(params=import_torch_vgg19(sd, p))
+            # from a torchvision vgg19 state dict, or pass
+            # --vgg-weights <path to torchvision .pth> on the CLIs.
+            import warnings
+
+            warnings.warn(
+                "VGGLoss: no pretrained VGG19 weights supplied — "
+                "lambda_style/lambda_content will use RANDOM taps. "
+                "Load torchvision vgg19 weights via import_torch_vgg19 / "
+                "--vgg-weights for reference-parity perceptual loss.",
+                stacklevel=2)
+            print("[VGGLoss] WARNING: running with randomly initialized "
+                  "VGG19 taps (no pretrained weights found)")
             params = self.model.init(jax.random.PRNGKey(0),
                                      jnp.zeros((1, 32, 32, 3)))["params"]
         self.params = params

@@ -44,10 +44,31 @@ def get_option_setter(name):
     return apply
 
 
+def load_vgg_params(path):
+    """Import torchvision vgg19 weights (a ``.pth`` state dict) into the JAX
+    VGG19 tap extractor (reference loads the torchvision-pretrained net,
+    CC/dual_gan/models/external_function.py:226-347)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from .external_function import VGG19, import_torch_vgg19
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    init = VGG19().init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    return import_torch_vgg19(sd, init)
+
+
 def create_model(cfg, **kwargs):
     """Instantiate the engine named by cfg.model (models.py:4-22)."""
     cls = find_model_using_name(cfg.model)
     get_option_setter(cfg.model)(cfg)
+    if cfg.use_vgg and getattr(cfg, "vgg_weights", "") and \
+            "vgg_params" not in kwargs:
+        kwargs["vgg_params"] = load_vgg_params(cfg.vgg_weights)
     model = cls(cfg, **kwargs)
     print(f"model [{cls.__name__}] was created")
     return model
