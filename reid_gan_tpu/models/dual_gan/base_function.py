@@ -14,6 +14,8 @@ state in 'batch_stats', updated when train=True). Pre-activation ordering
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
+
+from ...ops.fastconv import Conv as FastConv
 import jax.numpy as jnp
 
 orth_init = nn.initializers.orthogonal()
@@ -57,7 +59,7 @@ class SpectralConv(nn.Module):
             xx = jnp.broadcast_to(jnp.linspace(-1, 1, w)[None, None, :, None],
                                   (n, h, w, 1))
             x = jnp.concatenate([x, yy, xx], axis=-1)
-        conv = nn.Conv(self.features, self.kernel_size, self.strides,
+        conv = FastConv(self.features, self.kernel_size, self.strides,
                        padding=self.padding, use_bias=self.use_bias,
                        kernel_init=self.kernel_init, name="conv")
         if self.use_spect:
@@ -254,7 +256,7 @@ class FeatureAdaptBlock1(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Conv(self.output_nc, (1, 1), kernel_init=orth_init,
+        y = FastConv(self.output_nc, (1, 1), kernel_init=orth_init,
                     name="conv1")(x)
         n = make_norm(self.norm, "norm1", train)
         if n is not None:
@@ -414,7 +416,7 @@ class AutoAttn(nn.Module):
     @nn.compact
     def __call__(self, x, pre=None, mask=None, train: bool = False):
         n, h, w, c = x.shape
-        q = nn.Conv(c // 4, (1, 1), kernel_init=orth_init, name="query_conv")(x)
+        q = FastConv(c // 4, (1, 1), kernel_init=orth_init, name="query_conv")(x)
         q = q.reshape(n, h * w, c // 4)
         energy = jnp.einsum("nlc,nmc->nlm", q, q)
         attention = nn.softmax(energy, axis=-1)

@@ -7,6 +7,8 @@ over a frozen VGG19 (:226-347).
 """
 
 import flax.linen as nn
+
+from ...ops.fastconv import Conv as FastConv
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,7 +92,7 @@ class VGG19(nn.Module):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), (2, 2))
                 continue
-            x = nn.Conv(v, (3, 3), padding=1, name=f"conv{ci}")(x)
+            x = FastConv(v, (3, 3), padding=1, name=f"conv{ci}")(x)
             x = nn.relu(x)
             taps[_TAPS[ti]] = x
             ti += 1

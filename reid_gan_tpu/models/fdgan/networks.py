@@ -14,6 +14,8 @@ Init: N(0, 0.02) convs, BN scale N(1, 0.02) (networks.py:13-21).
 """
 
 import flax.linen as nn
+
+from ...ops.fastconv import Conv as FastConv
 import jax.numpy as jnp
 
 conv_init = nn.initializers.normal(0.02)
@@ -57,12 +59,12 @@ class CustomPoseGenerator(nn.Module):
 
         def enc(x, out_c, name):
             x = lrelu(x)
-            x = nn.Conv(out_c, (4, 4), (2, 2), padding=1, use_bias=False,
+            x = FastConv(out_c, (4, 4), (2, 2), padding=1, use_bias=False,
                         kernel_init=conv_init, name=f"{name}_conv")(x)
             return _bn_gan(f"{name}_bn", train)(x)
 
         # Encoder (networks.py:86-101)
-        p1 = nn.Conv(ngf, (4, 4), (2, 2), padding=1, use_bias=False,
+        p1 = FastConv(ngf, (4, 4), (2, 2), padding=1, use_bias=False,
                      kernel_init=conv_init, name="en_conv1")(posemap)
         p2 = enc(p1, ngf * 2, "en_conv2")
         p3 = enc(p2, ngf * 4, "en_conv3")
@@ -72,7 +74,7 @@ class CustomPoseGenerator(nn.Module):
         # global (H/32, W/32) kernel → 1×1 pose code ((8,4) at 256×128,
         # networks.py:96-99; derived from input size so small test shapes work)
         k_avg = (posemap.shape[1] // 32, posemap.shape[2] // 32)
-        pe = nn.Conv(self.pose_feature_nc, k_avg, padding="VALID",
+        pe = FastConv(self.pose_feature_nc, k_avg, padding="VALID",
                      use_bias=False, kernel_init=conv_init, name="en_avg_conv")(pe)
         pose_feature = _bn_gan("en_avg_bn", train)(pe)       # (N,1,1,pose_nc)
 
@@ -132,21 +134,21 @@ class NLayerDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Conv(self.ndf, (4, 4), (2, 2), padding=1,
+        y = FastConv(self.ndf, (4, 4), (2, 2), padding=1,
                     kernel_init=conv_init, name="conv0")(x)
         y = nn.leaky_relu(y, 0.2)
         nf_mult = 1
         for n in range(1, self.n_layers):
             nf_mult = min(2 ** n, 8)
-            y = nn.Conv(self.ndf * nf_mult, (4, 4), (2, 2), padding=1,
+            y = FastConv(self.ndf * nf_mult, (4, 4), (2, 2), padding=1,
                         use_bias=False, kernel_init=conv_init, name=f"conv{n}")(y)
             y = _bn_gan(f"bn{n}", train)(y)
             y = nn.leaky_relu(y, 0.2)
         nf_mult = min(2 ** self.n_layers, 8)
-        y = nn.Conv(self.ndf * nf_mult, (4, 4), (1, 1), padding=1,
+        y = FastConv(self.ndf * nf_mult, (4, 4), (1, 1), padding=1,
                     use_bias=False, kernel_init=conv_init,
                     name=f"conv{self.n_layers}")(y)
         y = _bn_gan(f"bn{self.n_layers}", train)(y)
         y = nn.leaky_relu(y, 0.2)
-        return nn.Conv(1, (4, 4), (1, 1), padding=1,
+        return FastConv(1, (4, 4), (1, 1), padding=1,
                        kernel_init=conv_init, name="conv_out")(y)

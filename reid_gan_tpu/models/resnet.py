@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.fastconv import Conv as FastConv
 from .pooling import build_pooling_layer
 
 conv_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -63,17 +64,17 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride), padding=1,
+        y = FastConv(self.filters, (3, 3), (self.stride, self.stride), padding=1,
                     use_bias=False, kernel_init=conv_kaiming, name="conv1",
                     dtype=self.dtype)(x)
         y = IBN(name="bn1")(y, train) if self.ibn else \
             _bn("bn1", train, dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+        y = FastConv(self.filters, (3, 3), padding=1, use_bias=False,
                     kernel_init=conv_kaiming, name="conv2", dtype=self.dtype)(y)
         y = _bn("bn2", train, dtype=self.dtype)(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(self.filters, (1, 1), (self.stride, self.stride),
+            residual = FastConv(self.filters, (1, 1), (self.stride, self.stride),
                                use_bias=False, kernel_init=conv_kaiming,
                                name="downsample_conv", dtype=self.dtype)(x)
             residual = _bn("downsample_bn", train, dtype=self.dtype)(residual)
@@ -90,22 +91,22 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False,
+        y = FastConv(self.filters, (1, 1), use_bias=False,
                     kernel_init=conv_kaiming, name="conv1", dtype=self.dtype)(x)
         y = IBN(name="bn1")(y, train) if self.ibn else \
             _bn("bn1", train, dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride), padding=1,
+        y = FastConv(self.filters, (3, 3), (self.stride, self.stride), padding=1,
                     use_bias=False, kernel_init=conv_kaiming, name="conv2",
                     dtype=self.dtype)(y)
         y = _bn("bn2", train, dtype=self.dtype)(y)
         y = nn.relu(y)
         out_c = self.filters * self.expansion
-        y = nn.Conv(out_c, (1, 1), use_bias=False,
+        y = FastConv(out_c, (1, 1), use_bias=False,
                     kernel_init=conv_kaiming, name="conv3", dtype=self.dtype)(y)
         y = _bn("bn3", train, dtype=self.dtype)(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(out_c, (1, 1), (self.stride, self.stride),
+            residual = FastConv(out_c, (1, 1), (self.stride, self.stride),
                                use_bias=False, kernel_init=conv_kaiming,
                                name="downsample_conv", dtype=self.dtype)(x)
             residual = _bn("downsample_bn", train, dtype=self.dtype)(residual)
@@ -134,7 +135,7 @@ class ResNetBackbone(nn.Module):
         block_cls, sizes = STAGES[self.depth]
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+        y = FastConv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     kernel_init=conv_kaiming, name="conv1", dtype=self.dtype)(x)
         y = _bn("bn1", train, dtype=self.dtype)(y)
         y = nn.relu(y)

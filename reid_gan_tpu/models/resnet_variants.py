@@ -6,6 +6,8 @@ SURVEY.md C10).
 from typing import Any
 
 import flax.linen as nn
+
+from ..ops.fastconv import Conv as FastConv
 import jax.numpy as jnp
 
 from .pooling import GeneralizedMeanPooling
@@ -156,7 +158,7 @@ class ResNetMP(nn.Module):
             x_gc = x_g + x_p1 + x_p2
         else:
             x_gc = x_g
-        gan_feat = nn.Conv(self.num_proj, (1, 1), use_bias=False,
+        gan_feat = FastConv(self.num_proj, (1, 1), use_bias=False,
                            kernel_init=conv_kaiming, name="proj_gan")(x_p)
         if self.norm:
             f_g, f_p1, f_p2, f_gc = map(_l2n, (x_g, x_p1, x_p2, x_gc))

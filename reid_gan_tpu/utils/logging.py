@@ -19,7 +19,8 @@ class Logger:
         self.file = None
         if fpath is not None:
             mkdir_if_missing(os.path.dirname(fpath) or ".")
-            self.file = open(fpath, "w")
+            # line-buffered: the log must be tail-able while training runs
+            self.file = open(fpath, "w", buffering=1)
 
     def __del__(self):
         self.close()
