@@ -27,10 +27,12 @@ from ..utils.serialization import load_checkpoint, save_checkpoint
 
 
 def main(argv=None, depth=50, mesh=None):
-    cfg = parse_config(argv)
+    cfg = parse_config(argv, sections=("data", "model", "optim", "train"))
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir, "opt.txt")
-    if mesh is None and jax.device_count() > 1:
+    if mesh is False:      # explicit opt-out (tests, single-chip benchmarks)
+        mesh = None
+    elif mesh is None and jax.device_count() > 1:
         from ..parallel.mesh import get_mesh
 
         mesh = get_mesh()

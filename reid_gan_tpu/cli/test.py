@@ -30,7 +30,7 @@ def main(argv=None):
                        help="evaluate with the SOURCE domain BN stats "
                             "(default: target)")
     ns, rest = extra.parse_known_args(argv)
-    cfg = parse_config(rest)
+    cfg = parse_config(rest, sections=("data", "model", "cluster", "train"))
 
     dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)
     model = create_model(cfg.model.arch, num_features=cfg.model.features,

@@ -29,10 +29,12 @@ from ..utils.visualizer import Visualizer
 
 
 def main(argv=None, mesh=None):
-    cfg = parse_config(argv)
+    cfg = parse_config(argv, sections=("data", "model", "optim", "cluster", "train", "gan"))
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir)
-    if mesh is None and jax.device_count() > 1:
+    if mesh is False:      # explicit opt-out (tests, single-chip benchmarks)
+        mesh = None
+    elif mesh is None and jax.device_count() > 1:
         from ..parallel.mesh import get_mesh
 
         mesh = get_mesh()

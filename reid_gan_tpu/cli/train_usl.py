@@ -31,13 +31,15 @@ from ..data.datasets import create as create_dataset
 
 
 def main(argv=None, mesh=None):
-    cfg = parse_config(argv)
+    cfg = parse_config(argv, sections=("data", "model", "optim", "cluster", "train"))
     start = time.monotonic()
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir)
     print("==> Config written; starting USL training")
 
-    if mesh is None and jax.device_count() > 1:
+    if mesh is False:      # explicit opt-out (tests, single-chip benchmarks)
+        mesh = None
+    elif mesh is None and jax.device_count() > 1:
         mesh = get_mesh()
 
     dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)

@@ -25,13 +25,6 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 
-# Persistent compilation cache: the mesh-equivalence tests compile large
-# joint-GAN programs twice each (single-device + 8-device); caching the
-# executables makes suite re-runs minutes instead of tens of minutes.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
 
 @pytest.fixture(scope="session")
 def devices():
