@@ -19,7 +19,7 @@ from ..models import create as create_model
 from ..utils.serialization import load_checkpoint
 
 
-def main(argv=None):
+def main(argv=None, mesh=None):
     argv = sys.argv[1:] if argv is None else argv
     extra = argparse.ArgumentParser()
     extra.add_argument("--rerank", action="store_true")
@@ -57,8 +57,9 @@ def main(argv=None):
                                        "epoch": 0, "best_mAP": 0.0})
         variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
 
-    mesh = None
-    if jax.device_count() > 1:
+    if mesh is False:      # explicit opt-out (tests, single-chip benchmarks)
+        mesh = None
+    elif mesh is None and jax.device_count() > 1:
         from ..parallel.mesh import get_mesh
 
         mesh = get_mesh()

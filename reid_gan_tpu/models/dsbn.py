@@ -18,24 +18,26 @@ def _is_bn_params(path):
 
 def convert_dsbn(variables, num_domains=2):
     """variables → dict with every batch_stats leaf + BN param duplicated per
-    domain: returns {'domains': [variables_d0, variables_d1, ...]}."""
-    return {"domains": [jax.tree_util.tree_map(lambda x: x, variables)
-                        for _ in range(num_domains)]}
+    domain: returns {'domains': {'d0': variables, 'd1': variables, ...}}.
+    (dict keys, not a list — flax msgpack state dicts round-trip dicts but
+    not python lists, and DSBN checkpoints must survive save/restore)."""
+    return {"domains": {f"d{i}": jax.tree_util.tree_map(lambda x: x, variables)
+                        for i in range(num_domains)}}
 
 
 def select_domain(dsbn_variables, domain):
     """Variables for one domain (target=True → domain index 1 in the
     reference convention, dsbn.py convert: target uses its own stats)."""
-    return dsbn_variables["domains"][domain]
+    return dsbn_variables["domains"][f"d{domain}"]
 
 
 def update_domain(dsbn_variables, domain, variables):
-    doms = list(dsbn_variables["domains"])
-    doms[domain] = variables
+    doms = dict(dsbn_variables["domains"])
+    doms[f"d{domain}"] = variables
     return {"domains": doms}
 
 
 def convert_bn(dsbn_variables, use_target=True):
     """Collapse back to plain variables keeping the chosen domain's BN state
     (dsbn.py:45-79 convert_bn)."""
-    return dsbn_variables["domains"][1 if use_target else 0]
+    return dsbn_variables["domains"]["d1" if use_target else "d0"]

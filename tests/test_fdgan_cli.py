@@ -15,7 +15,7 @@ def test_fdgan_baseline_debug(tmp_path):
         "--batch-size", "8", "--lr", "0.01",
         "--workers", "2", "--eval-step", "1", "--debug",
         "--logs-dir", str(tmp_path / "logs"),
-    ])
+    ], mesh=False)
     sys.stdout = sys.__stdout__
     assert 0.0 <= best <= 1.0
     assert (tmp_path / "logs" / "checkpoint.msgpack").exists()
@@ -32,7 +32,7 @@ def test_fdgan_train_debug(tmp_path):
         "--workers", "2", "--debug", "--save-step", "1",
         "--logs-dir", str(tmp_path / "logs"),
         "--save-dir", str(tmp_path / "ckpt"),
-    ])
+    ], mesh=False)
     sys.stdout = sys.__stdout__
     assert state is not None
     for net in ("E", "G", "Di", "Dp"):

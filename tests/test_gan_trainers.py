@@ -128,7 +128,7 @@ def test_joint_cli_debug_epoch(tmp_path):
         "--workers", "2", "--eval-step", "1",
         "--debug", "--logs-dir", str(tmp_path / "logs"),
         "--save-dir", str(tmp_path / "ckpt"),
-    ])
+    ], mesh=False)
     sys.stdout = sys.__stdout__
     assert 0.0 <= best <= 1.0
     assert (tmp_path / "ckpt" / "experiment" / "latest_net_G.msgpack").exists()

@@ -74,7 +74,7 @@ def test_sharded_step_matches_single_device(mesh):
     p1 = jax.tree_util.tree_leaves(s1.params)
     p8 = jax.tree_util.tree_leaves(s8.params)
     for a, b in zip(p1, p8):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
 def test_use_hard_trainer_runs():

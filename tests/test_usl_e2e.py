@@ -23,7 +23,7 @@ def test_train_usl_debug_epoch(tmp_path):
         "--eval-step", "1",
         "--debug",
         "--logs-dir", str(logs),
-    ])
+    ], mesh=False)
     sys.stdout = sys.__stdout__
     assert 0.0 <= best <= 1.0
     assert osp.exists(logs / "checkpoint.msgpack")
@@ -42,13 +42,13 @@ def test_eval_cli_on_checkpoint(tmp_path):
         "--batch-size", "16", "--num-instances", "4",
         "--eps", "0.7", "--k1", "8", "--k2", "3", "--workers", "2",
         "--eval-step", "1", "--debug", "--logs-dir", str(logs),
-    ])
+    ], mesh=False)
     sys.stdout = sys.__stdout__
     scores, mAP = test_main([
         "--dataset", "synthetic", "--data-dir", str(tmp_path),
         "--arch", "resnet18", "--height", "64", "--width", "32",
         "--batch-size", "16", "--workers", "2",
         "--resume", str(logs / "checkpoint.msgpack"),
-    ])
+    ], mesh=False)
     assert 0.0 <= mAP <= 1.0
     assert scores.shape == (100,)

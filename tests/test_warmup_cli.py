@@ -13,7 +13,7 @@ def test_train_gan_warmup_debug(tmp_path):
         "--workers", "2", "--debug",
         "--logs-dir", str(tmp_path / "logs"),
         "--save-dir", str(tmp_path / "ckpt"),
-    ])
+    ], mesh=False)
     sys.stdout = sys.__stdout__
     assert state is not None
     assert (tmp_path / "ckpt" / "experiment" / "latest_net_G.msgpack").exists()
