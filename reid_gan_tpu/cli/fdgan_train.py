@@ -60,18 +60,28 @@ def main(argv=None, mesh=None):
         loader = DataLoader(pre, sampler=sampler, batch_size=cfg.data.batch_size,
                             num_workers=cfg.data.workers, drop_last=True)
         meters = {}
+        errs_buf = []   # device scalars; one batched fetch per print window
+
+        def drain(buf):
+            for fetched in jax.device_get(buf):
+                for k, v in fetched.items():
+                    meters.setdefault(k, AverageMeter()).update(float(v))
+
         t0 = time.time()
         for i, (b1, b2) in enumerate(loader):
             if cfg.train.debug and i >= 2:
                 break
             key = jax.random.PRNGKey(cfg.train.seed * 1000003 + epoch * 8191 + i)
             state, errors, _fake = model.optimize_step(state, b1, b2, key)
-            for k, v in errors.items():
-                meters.setdefault(k, AverageMeter()).update(float(v))
+            errs_buf.append(errors)
             if (i + 1) % cfg.train.print_freq == 0:
+                drain(errs_buf)
+                errs_buf = []
                 msg = "  ".join(f"{k}: {m.avg:.3f}" for k, m in meters.items())
                 print(f"Epoch {epoch} [{i + 1}]  {msg}  "
                       f"({time.time() - t0:.1f}s)")
+        drain(errs_buf)
+        errs_buf = []
         print(f"End of epoch {epoch} \t Time Taken: {time.time() - t0:.0f} sec")
         # visuals: input / fake / target grid (FD/fdgan/model.py:241-248)
         visualizer.display_current_results(

@@ -102,10 +102,25 @@ class SiameseTrainer:
         return state._replace(opt_state=opt)
 
     def train(self, state, epoch, data_loader, print_freq=1, base_seed=0):
+        """No per-iter device syncs: loss/logits stay on device and are
+        fetched in one batched ``jax.device_get`` per print window so host
+        staging overlaps device compute."""
         batch_time, data_time = AverageMeter(), AverageMeter()
         losses, precisions = AverageMeter(), AverageMeter()
-        end = time.time()
+        buf = []          # (loss_dev, logits_dev, targets_host)
+
+        def drain(buf):
+            if not buf:
+                return
+            fetched = jax.device_get([(l, g) for l, g, _ in buf])  # one sync
+            for (loss_v, logits_v), (_, _, tgt) in zip(fetched, buf):
+                prec, = accuracy(logits_v, tgt)
+                losses.update(float(loss_v), len(tgt))
+                precisions.update(prec, len(tgt))
+
+        end = window_start = time.time()
         state = self.adjust_lr(state, epoch)
+        i = -1
         for i, (b1, b2) in enumerate(data_loader):
             data_time.update(time.time() - end)
             targets = (b1["pid"] == b2["pid"]).astype(np.int32)
@@ -119,18 +134,21 @@ class SiameseTrainer:
             state, loss, logits = self._step(
                 state, jnp.asarray(img1), jnp.asarray(img2),
                 jnp.asarray(targets), key)
-            prec, = accuracy(np.asarray(logits), targets)
-            n = len(targets)
-            losses.update(float(loss), n)
-            precisions.update(prec, n)
-            batch_time.update(time.time() - end)
+            buf.append((loss, logits, np.asarray(targets)))
             end = time.time()
             if (i + 1) % print_freq == 0:
+                drain(buf)
+                buf = []
+                now = time.time()
+                batch_time.update((now - window_start) / print_freq,
+                                  n=print_freq)
+                window_start = end = now
                 print(f"Epoch: [{epoch}][{i + 1}]\t"
                       f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
                       f"Data {data_time.val:.3f} ({data_time.avg:.3f})\t"
                       f"Loss {losses.val:.3f} ({losses.avg:.3f})\t"
                       f"Prec {precisions.val:.2%} ({precisions.avg:.2%})")
+        drain(buf)
         return state, losses.avg
 
 

@@ -98,8 +98,8 @@ class ClusterContrastWithGANTrainer:
         gan = self.gan
         group_size = self.group_size
 
-        def step(state, batch, key):
-            k_aug, k_g = jax.random.split(key)
+        def step(state, batch, seed):
+            k_aug, k_g = jax.random.split(jax.random.PRNGKey(seed))
             x = reid_augment(k_aug, batch["img"], height=self.h, width=self.w,
                              train=True)
             targets = batch["pid"]
@@ -138,13 +138,21 @@ class ClusterContrastWithGANTrainer:
         interleaved D step (trainers_b.py:617-814)."""
         gan = self.gan
 
-        def step(state, batch, key, conf_mask):
-            k_aug, k_d, k_g = jax.random.split(key, 3)
+        def step(state, batch, seed, conf_mask):
+            k_aug, k_d, k_g = jax.random.split(jax.random.PRNGKey(seed), 3)
             x = reid_augment(k_aug, batch["img"], height=self.h, width=self.w,
                              train=True)
             targets = batch["pid"]
             xs = gan_input_transform(batch["Xs"], self.gan.h, self.gan.w)
-            ps = batch["Ps"]
+            if "keypoints" in batch:
+                # render posemaps INSIDE the step: one jit dispatch per iter
+                # and the rendering is sharded with the batch under a mesh
+                pm = jax.vmap(lambda c, o: _cords_to_map(
+                    c, o, gan.h, gan.w))(batch["keypoints"],
+                                         batch["old_size"])
+                ps = jnp.transpose(pm, (0, 2, 3, 1))
+            else:
+                ps = batch["Ps"]
 
             # forward encoder once (no grad) to get the GAN conditioning map
             _, f_gan0, _ = self._enc(state.enc_params, state.enc_batch_stats,
@@ -211,9 +219,9 @@ class ClusterContrastWithGANTrainer:
     def _make_train_reid_step(self):
         """'train_reid' warmup: memory loss only (trainers_b.py:1087-1138)."""
 
-        def step(state, batch, key):
-            x = reid_augment(key, batch["img"], height=self.h, width=self.w,
-                             train=True)
+        def step(state, batch, seed):
+            x = reid_augment(jax.random.PRNGKey(seed), batch["img"],
+                             height=self.h, width=self.w, train=True)
             targets = batch["pid"]
 
             def loss_fn(params):
@@ -251,13 +259,21 @@ class ClusterContrastWithGANTrainer:
 
         gan = self.gan
 
-        def step(state, gmem, batch, key, cluster_lr):
-            k_aug, k_d = jax.random.split(key)
+        def step(state, gmem, batch, seed, cluster_lr):
+            k_aug, k_d = jax.random.split(jax.random.PRNGKey(seed))
             x = reid_augment(k_aug, batch["img"], height=self.h, width=self.w,
                              train=True)
             targets = batch["pid"]
             xs = gan_input_transform(batch["Xs"], self.gan.h, self.gan.w)
-            ps = batch["Ps"]
+            if "keypoints" in batch:
+                # render posemaps INSIDE the step: one jit dispatch per iter
+                # and the rendering is sharded with the batch under a mesh
+                pm = jax.vmap(lambda c, o: _cords_to_map(
+                    c, o, gan.h, gan.w))(batch["keypoints"],
+                                         batch["old_size"])
+                ps = jnp.transpose(pm, (0, 2, 3, 1))
+            else:
+                ps = batch["Ps"]
             h8, w8 = gan.h // 8, gan.w // 8
 
             def render_from_clusters(g_params, clusters):
@@ -333,8 +349,8 @@ class ClusterContrastWithGANTrainer:
         this is the intended semantics from its live pieces."""
         gan = self.gan
 
-        def step(state, batch, key):
-            k_aug, k_d = jax.random.split(key)
+        def step(state, batch, seed):
+            k_aug, k_d = jax.random.split(jax.random.PRNGKey(seed))
             x = reid_augment(k_aug, batch["img"], height=self.h, width=self.w,
                              train=True)
             targets = batch["pid"]
@@ -423,9 +439,20 @@ class ClusterContrastWithGANTrainer:
         step = self._get_step(mode)
         meters = {}
         batch_time, data_time = AverageMeter(), AverageMeter()
-        end = time.time()
+        errs_buf = []   # device scalars; fetched in one sync per print window
+        end = window_start = time.time()
         if self.mesh is not None and gmem is not None:
             gmem = replicate(self.mesh, gmem)
+
+        def drain(buf):
+            if not buf:
+                return
+            stacked = np.asarray(jnp.stack(
+                [jnp.stack(list(e.values())) for e in buf]))  # one sync
+            names = list(buf[0].keys())
+            for row in stacked:
+                for k, v in zip(names, row):
+                    meters.setdefault(k, AverageMeter()).update(float(v))
         for i in range(train_iters):
             batch = data_loader.next()
             data_time.update(time.time() - end)
@@ -450,28 +477,31 @@ class ClusterContrastWithGANTrainer:
                 dev = shard_batch(self.mesh, dev)
             else:
                 dev = {k: jnp.asarray(v) for k, v in dev.items()}
-            if render_pose:
-                dev["Ps"] = self._render_pose(dev.pop("keypoints"),
-                                              dev.pop("old_size"))
-            key = jax.random.PRNGKey(base_seed + epoch * train_iters + i)
+            seed = np.int32((base_seed + epoch * train_iters + i)
+                            & 0x7FFFFFFF)
             if mode == "train_all":
                 cm = dev.pop("conf")
-                state, errs = step(state, dev, key, cm)
+                state, errs = step(state, dev, seed, cm)
             elif mode == "train_all_with_memory":
-                state, gmem, errs = step(state, gmem, dev, key,
+                state, gmem, errs = step(state, gmem, dev, seed,
                                          jnp.asarray(cluster_lr, jnp.float32))
             else:
-                state, errs = step(state, dev, key)
-            for k, v in errs.items():
-                meters.setdefault(k, AverageMeter()).update(float(v))
-            batch_time.update(time.time() - end)
+                state, errs = step(state, dev, seed)
+            errs_buf.append(errs)
             end = time.time()
             if (i + 1) % print_freq == 0:
+                drain(errs_buf)
+                errs_buf = []
+                now = time.time()
+                batch_time.update((now - window_start) / print_freq,
+                                  n=print_freq)
+                window_start = end = now
                 msg = "\t".join(f"{k} {m.val:.3f} ({m.avg:.3f})"
                                 for k, m in meters.items())
                 print(f"Epoch: [{epoch}][{i + 1}/{train_iters}]\t"
                       f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
                       f"Data {data_time.val:.3f} ({data_time.avg:.3f})\t{msg}")
+        drain(errs_buf)
         avg = {k: m.avg for k, m in meters.items()}
         if mode == "train_all_with_memory":
             return state, gmem, avg
@@ -489,6 +519,18 @@ class GANTrainer:
     def train_gan(self, gan_state, epoch, gan_loader, train_iters=400,
                   base_seed=0):
         meters = {}
+        errs_buf = []
+
+        def drain(buf):
+            if not buf:
+                return
+            stacked = np.asarray(jnp.stack(
+                [jnp.stack(list(e.values())) for e in buf]))  # one sync
+            names = list(buf[0].keys())
+            for row in stacked:
+                for k, v in zip(names, row):
+                    meters.setdefault(k, AverageMeter()).update(float(v))
+
         if self.mesh is not None:
             gan_state = replicate(self.mesh, gan_state)
         for i in range(train_iters):
@@ -503,9 +545,11 @@ class GANTrainer:
                 dev["Ps"] = jnp.asarray(dev["Ps"])
             key = jax.random.PRNGKey(base_seed + epoch * train_iters + i)
             gan_state, errs, _ = self.gan._step(gan_state, dev, key)
-            for k, v in errs.items():
-                meters.setdefault(k, AverageMeter()).update(float(v))
+            errs_buf.append(errs)
             if (i + 1) % self.print_freq == 0:
+                drain(errs_buf)
+                errs_buf = []
                 msg = "  ".join(f"{k}: {m.avg:.3f}" for k, m in meters.items())
                 print(f"GAN Epoch: [{epoch}][{i + 1}/{train_iters}]  {msg}")
+        drain(errs_buf)
         return gan_state, {k: m.avg for k, m in meters.items()}

@@ -63,8 +63,9 @@ class ClusterContrastTrainer:
         self.use_hard = use_hard
         self.tx = make_optimizer(lr, weight_decay, step_size, iters_per_epoch)
 
-        def step_fn(state, img_u8, targets, key):
-            x = reid_augment(key, img_u8, height=height, width=width, train=True)
+        def step_fn(state, img_u8, targets, seed):
+            x = reid_augment(jax.random.PRNGKey(seed), img_u8, height=height,
+                             width=width, train=True)
 
             def loss_fn(params):
                 out, mut = model.apply(
@@ -107,25 +108,41 @@ class ClusterContrastTrainer:
 
     def train(self, state, epoch, data_loader, train_iters=400, print_freq=10,
               base_seed=0):
-        """Run one epoch; returns (state, mean_loss)."""
+        """Run one epoch; returns (state, mean_loss).
+
+        The loop never syncs per iteration: losses stay on device and are
+        fetched in ONE transfer at each print point, so host staging of the
+        next batch overlaps device compute (a per-iter ``float()`` costs a
+        full host↔device round trip and serializes the pipeline)."""
         batch_time = AverageMeter()
         data_time = AverageMeter()
         losses = AverageMeter()
-        end = time.time()
+        loss_buf = []
+        end = window_start = time.time()
         for i in range(train_iters):
             batch = data_loader.next()
             data_time.update(time.time() - end)
             img, targets = batch["img"], batch["pid"].astype(np.int32)
             if self.mesh is not None:
                 img, targets = shard_batch(self.mesh, (img, targets))
-            key = jax.random.PRNGKey(base_seed + epoch * train_iters + i)
-            state, loss = self._step(state, img, targets, key)
-            losses.update(float(loss))
-            batch_time.update(time.time() - end)
+            seed = np.int32((base_seed + epoch * train_iters + i)
+                            & 0x7FFFFFFF)
+            state, loss = self._step(state, img, targets, seed)
+            loss_buf.append(loss)
             end = time.time()
             if (i + 1) % print_freq == 0:
+                vals = np.asarray(jnp.stack(loss_buf))   # one device sync
+                loss_buf = []
+                for v in vals:
+                    losses.update(float(v))
+                now = time.time()
+                batch_time.update((now - window_start) / print_freq,
+                                  n=print_freq)
+                window_start = end = now
                 print(f"Epoch: [{epoch}][{i + 1}/{train_iters}]\t"
                       f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
                       f"Data {data_time.val:.3f} ({data_time.avg:.3f})\t"
                       f"Loss {losses.val:.3f} ({losses.avg:.3f})")
+        for v in np.asarray(jnp.stack(loss_buf)) if loss_buf else []:
+            losses.update(float(v))
         return state, losses.avg

@@ -88,7 +88,7 @@ def test_memory_momentum_reaches_bank(hard_root):
         tr = ClusterContrastTrainer(model, height=64, width=32, momentum=m)
         state = tr.init_state(variables, init_memory(centers))
         state, _ = tr._step(state, jnp.asarray(img), jnp.asarray(targets),
-                            jax.random.PRNGKey(0))
+                            np.int32(0))
         banks[m] = np.asarray(state.memory.features)
     moved_lo = np.abs(banks[0.1][:4] - centers).max()
     moved_hi = np.abs(banks[0.9][:4] - centers).max()
@@ -119,7 +119,7 @@ def test_use_hard_changes_update(hard_root):
                                     use_hard=hard)
         state = tr.init_state(variables, init_memory(centers))
         state, _ = tr._step(state, jnp.asarray(img), jnp.asarray(targets),
-                            jax.random.PRNGKey(0))
+                            np.int32(0))
         banks[hard] = np.asarray(state.memory.features)
     assert np.abs(banks[True] - banks[False]).max() > 1e-5
 
