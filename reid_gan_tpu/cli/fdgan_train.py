@@ -74,6 +74,11 @@ def main(argv=None, mesh=None):
             key = jax.random.PRNGKey(cfg.train.seed * 1000003 + epoch * 8191 + i)
             state, errors, _fake = model.optimize_step(state, b1, b2, key)
             errs_buf.append(errors)
+            # per-iter visual dump cadence (parity: FD/train.py:81-83,
+            # total_steps % opt.display_freq)
+            if (i + 1) % cfg.gan.display_freq == 0:
+                visualizer.display_current_results(
+                    {"fake": np.asarray(_fake[0])}, epoch)
             if (i + 1) % cfg.train.print_freq == 0:
                 drain(errs_buf)
                 errs_buf = []

@@ -35,8 +35,11 @@ class DataConfig:
     # GAN input branch (CC preprocessor 3-mode, load_size 128x64)
     gan_height: int = 128
     gan_width: int = 64
-    pose_file_train: str = "market-annotation-train.csv"
-    pose_file_test: str = "market-annotation-test.csv"
+    # NOTE: the reference's --pose-file-{train,test} flags are not exposed:
+    # each dataset class carries its own annotation CSV path
+    # (data/datasets/dir_datasets.py, matching
+    # CC/clustercontrast/datasets/market1501.py:28-29), so the flags would
+    # be dead — the exact pathology SURVEY §2.3 flags in the reference.
 
 
 @dataclass
@@ -105,13 +108,14 @@ class GANConfig:
     #                              dict; empty → LOUD random-tap warning
     ngf: int = 64
     ndf: int = 64
-    z_dim: int = 256
+    # NOTE: the reference's --z_dim flag is parsed but never consumed by any
+    # dual_gan model (grep over CC/dual_gan/) — not reproduced here.
     pose_channels: int = 18
     save_dir: str = "./checkpoints"
     name: str = "experiment"
     continue_train: bool = False
     which_epoch: str = "latest"
-    display_freq: int = 100
+    display_freq: int = 100      # iters between visual dumps (FD/train.py:81)
     # joint-training flags (TrainOptions:57-78)
     warmup_epo: int = 0
     gan_train: bool = True
@@ -120,7 +124,8 @@ class GANConfig:
     cluster_with_gan_features: bool = False
     cluster_lr: float = 0.1
     cf_temp: float = 0.05
-    lambda_nl: float = 1.0
+    # NOTE: the reference's --lambda_nl flag drives nothing in any shipped
+    # trainer (CC/examples/options/train_options.py:64) — not reproduced.
     t_s_ratio: float = 0.5       # DPTN source/target loss balance
 
 

@@ -59,10 +59,6 @@ class ClusterContrastWithGANTrainer:
         self.h, self.w = height, width
         self.tx = make_optimizer(lr, weight_decay, step_size, iters_per_epoch)
         self._steps = {}
-        gh, gw = gan.h, gan.w
-        self._render_pose = jax.jit(lambda kp, osz: jnp.transpose(
-            jax.vmap(lambda c, o: _cords_to_map(c, o, gh, gw))(kp, osz),
-            (0, 2, 3, 1)))
 
     def init_state(self, enc_variables, gan_state, memory):
         state = JointState(

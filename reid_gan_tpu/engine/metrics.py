@@ -222,8 +222,12 @@ def _rank_metrics_jax(distmat, query_ids, gallery_ids, query_cams,
         if e - s < chunk:      # pad to the static chunk shape
             pad = chunk - (e - s)
             d = np.pad(d, ((0, pad), (0, 0)))
-            qid = np.pad(qid, (0, pad), constant_values=-1)  # never matches
-            qcam = np.pad(qcam, (0, pad), constant_values=-1)
+            # int32 min can never appear as a gallery id/cam, so padded
+            # rows have zero matches and are dropped by the has-mask —
+            # safe even for datasets whose gallery keeps junk pid=-1
+            sentinel = np.iinfo(np.int32).min
+            qid = np.pad(qid, (0, pad), constant_values=sentinel)
+            qcam = np.pad(qcam, (0, pad), constant_values=sentinel)
         hist, ap, nv = kernel(jnp.asarray(d), jnp.asarray(qid),
                               jnp.asarray(qcam), gids, gcams)
         ret += np.asarray(hist, np.float64)
@@ -238,7 +242,16 @@ def rank_metrics(distmat, query_ids=None, gallery_ids=None, query_cams=None,
                  gallery_cams=None, topk=100, separate_camera_set=False,
                  first_match_break=True, backend="auto"):
     """Fused CMC + mAP in one rank pass. backend: 'numpy' | 'jax' | 'auto'
-    (jax when the default backend is an accelerator)."""
+    (jax when the default backend is an accelerator).
+
+    Backend caveat: the jax kernel's stable on-device argsort and float32
+    accumulation can order *exactly tied* distances differently from the
+    numpy backend (the reference's np.argsort introsort order), so
+    accelerator-run numbers can differ in the last decimals on synthetic
+    data with duplicated distances. AP itself is tie-exact (distinct-
+    threshold formula); only CMC bin placement within a tie group can move.
+    Real-valued distance matrices (every production eval) have no ties.
+    """
     distmat = to_numpy(distmat)
     m, n = distmat.shape
     query_ids, gallery_ids, query_cams, gallery_cams = _default_ids_cams(

@@ -8,8 +8,9 @@ TPU is unaffected — the MXU conv path is the fast path there and this class
 defers to ``nn.Conv`` unchanged.
 
 The workaround lowers a degenerate 3x3/stride-1/SAME conv to nine shifted
-``einsum`` matmuls (bit-identical math, both differentiable through plain
-matmul transposes). The trace-time branch keys on ``jax.default_backend()``
+``einsum`` matmuls (numerically equivalent within float32 rounding — the
+summation order differs from XLA's conv, so outputs deviate at the ~1e-7
+level; both paths differentiable through plain matmul transposes). The trace-time branch keys on ``jax.default_backend()``
 and the static input shape, so each jitted program contains exactly one
 implementation.
 

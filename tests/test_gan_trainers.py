@@ -17,6 +17,8 @@ from reid_gan_tpu.models import create as create_model
 from reid_gan_tpu.models.dual_gan.ae_model import AEModel
 from reid_gan_tpu.ops.cluster_memory import init_memory
 
+pytestmark = pytest.mark.slow   # multi-minute jit traces on 1-CPU hosts
+
 H, W = 32, 16        # reid input
 GH, GW = 16, 8       # gan input
 

@@ -21,6 +21,9 @@ from reid_gan_tpu.engine.gan_trainers import (
 from reid_gan_tpu.models import create as create_model
 from reid_gan_tpu.models.dual_gan.ae_model import AEModel
 from reid_gan_tpu.ops.cluster_memory import init_gradient_memory, init_memory
+import pytest
+
+pytestmark = pytest.mark.slow   # multi-minute jit traces on 1-CPU hosts
 
 H, W = 32, 16
 GH, GW = 16, 8

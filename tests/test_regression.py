@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow   # multi-minute jit traces on 1-CPU hosts
+
 
 def _epoch_maps(log_path):
     """Per-epoch eval mAPs from the training log."""
