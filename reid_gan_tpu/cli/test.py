@@ -23,6 +23,11 @@ def main(argv=None, mesh=None):
     argv = sys.argv[1:] if argv is None else argv
     extra = argparse.ArgumentParser()
     extra.add_argument("--rerank", action="store_true")
+    extra.add_argument("--resume-torch", default="",
+                       help="reference-format torch .pth checkpoint "
+                            "(CC save_checkpoint layout; loaded via "
+                            "copy_state_dict semantics, "
+                            "CC/clustercontrast/utils/serialization.py:41-61)")
     extra.add_argument("--dsbn", action="store_true",
                        help="checkpoint carries domain-specific BNs "
                             "(UDA; reference CC/examples/test.py:71-81)")
@@ -56,6 +61,8 @@ def main(argv=None, mesh=None):
                                        "batch_stats": variables["batch_stats"],
                                        "epoch": 0, "best_mAP": 0.0})
         variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    elif ns.resume_torch:
+        variables = load_torch_reference_checkpoint(ns.resume_torch, variables)
 
     if mesh is False:      # explicit opt-out (tests, single-chip benchmarks)
         mesh = None
@@ -73,6 +80,40 @@ def main(argv=None, mesh=None):
                         num_workers=cfg.data.workers)
     return Evaluator(extractor).evaluate(loader, dataset.query, dataset.gallery,
                                          cmc_flag=True, rerank=ns.rerank)
+
+
+def load_torch_reference_checkpoint(fpath, variables):
+    """Load a reference-format torch ``.pth`` into the JAX model variables.
+
+    Mirrors ``load_checkpoint`` + ``copy_state_dict(strip='module.')``
+    (CC/examples/test.py:69-77): unwrap the ``state_dict`` key of the CC
+    checkpoint dict, strip ``module.``, translate the ``base.N`` sequential
+    layout and import with OIHW→HWIO / (out,in)→(in,out) transposes; the
+    trainable GeM power ``gap.p`` is restored when present.
+    """
+    import numpy as np
+    import torch
+
+    from ..models.resnet import (
+        import_torch_resnet,
+        normalize_reference_state_dict,
+    )
+
+    raw = torch.load(fpath, map_location="cpu", weights_only=False)
+    sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+    sd = {k: np.asarray(v.detach().cpu() if hasattr(v, "detach") else v)
+          for k, v in sd.items()}
+    sd, gem_p = normalize_reference_state_dict(sd)
+    params, batch_stats, unmatched = import_torch_resnet(
+        sd, variables["params"], variables["batch_stats"])
+    if gem_p is not None and "gap" in params:
+        params["gap"]["p"] = jnp.asarray(gem_p, jnp.float32).reshape(
+            jnp.shape(params["gap"]["p"]))
+    if unmatched:
+        print(f"=> resume-torch: skipped {len(unmatched)} keys: "
+              f"{unmatched[:8]}{'...' if len(unmatched) > 8 else ''}")
+    print(f"=> Loaded reference torch checkpoint '{fpath}'")
+    return {"params": params, "batch_stats": batch_stats}
 
 
 if __name__ == "__main__":

@@ -120,6 +120,7 @@ class FDGANModel:
         G = self.net_G.init({"params": k3, "dropout": k3}, pose, feat, noise,
                             train=True)
         Dp = self.net_Dp.init(k4, jnp.concatenate([img, pose], -1), train=True)
+        E, G, Di, Dp = self._bootstrap(E, G, Di, Dp)
 
         def g_params(E, G):
             return {"G": G["params"], **({"E": E["params"]} if self.stage == 2 else {})}
@@ -135,6 +136,61 @@ class FDGANModel:
 
             state = replicate(self.mesh, state)
         return state
+
+    def _bootstrap(self, E, G, Di, Dp):
+        """Stage bootstrap consuming the ``net*_pretrain`` config paths —
+        this is what chains the three-stage FD-GAN recipe
+        (FD/README.md:47-111) end to end.
+
+        Parity: FD/fdgan/model.py:51-63 —
+        - stage 1 (paper stage II): load the stage-I baseline checkpoint
+          (``cli.fdgan_baseline`` output, a SiameseNet variables dict) into
+          net_E; initialize net_Di from the SAME dict with the verifier
+          classifier sliced to its positive row (torch
+          ``classifier.weight[1]`` → flax Dense ``kernel[:, 1:2]``,
+          ``bias[1:2]``), so Di starts as a copy of the trained verifier
+          specialised to a 1-logit real/fake head. net_G/net_Dp keep their
+          fresh init (reference re-runs init_weights on them, model.py:52-53).
+        - stage 2 (paper stage III): load all four nets from the stage-1
+          run's per-net files (model.py:60-63).
+        """
+        from ...utils.serialization import load_checkpoint
+
+        cfg = self.cfg
+        if self.stage == 1:
+            if cfg.netE_pretrain:
+                E = load_checkpoint(cfg.netE_pretrain, target=E)
+                Di = self._di_from_e(E, Di)
+        elif self.stage == 2:
+            for name, path, tgt in (("E", cfg.netE_pretrain, E),
+                                    ("G", cfg.netG_pretrain, G),
+                                    ("Di", cfg.netDi_pretrain, Di),
+                                    ("Dp", cfg.netDp_pretrain, Dp)):
+                if path:
+                    loaded = load_checkpoint(path, target=tgt)
+                    if name == "E":
+                        E = loaded
+                    elif name == "G":
+                        G = loaded
+                    elif name == "Di":
+                        Di = loaded
+                    else:
+                        Dp = loaded
+        return E, G, Di, Dp
+
+    @staticmethod
+    def _di_from_e(E, Di):
+        """net_Di ← net_E with the classifier positive-row slice
+        (FD/fdgan/model.py:56-58). Both nets are SiameseNets with identical
+        structure except the classifier Dense (2 logits vs 1): torch's
+        ``weight[1]`` (out-row 1) is flax's ``kernel[:, 1:2]``."""
+        from flax import serialization as flax_ser
+
+        sd = jax.tree_util.tree_map(np.asarray, flax_ser.to_state_dict(E))
+        cls = sd["params"]["embed_model"]["classifier"]
+        sd["params"]["embed_model"]["classifier"] = {
+            "kernel": cls["kernel"][:, 1:2], "bias": cls["bias"][1:2]}
+        return flax_ser.from_state_dict(Di, sd)
 
     def set_epoch_lr(self, state, epoch):
         """LambdaLR linear decay, stepped per epoch (networks.py:37-42).

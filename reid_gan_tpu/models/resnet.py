@@ -289,6 +289,21 @@ def import_torch_resnet(state_dict, params, batch_stats, base_scope="base"):
                 name = f"{stage}_{blk}"
                 if parts[2].startswith("conv"):
                     set_conv((base_scope, name, parts[2]), w)
+                elif parts[2].startswith("bn") and len(parts) > 4 and \
+                        parts[3] in ("IN", "BN"):
+                    # IBN-a split norm (resnet_ibn_a.py:54-67): IN half is
+                    # InstanceNorm2d(affine) → our GroupNorm 'IN' (params
+                    # only); BN half is a regular BatchNorm 'BN'
+                    scope = (base_scope, name, parts[2], parts[3])
+                    if parts[3] == "IN":
+                        if parts[4] == "weight":
+                            _assign(params, scope + ("scale",), w)
+                        elif parts[4] == "bias":
+                            _assign(params, scope + ("bias",), w)
+                        else:
+                            raise KeyError(parts[4])
+                    else:
+                        _route_bn(params, batch_stats, scope, parts[4], w)
                 elif parts[2].startswith("bn"):
                     _route_bn(params, batch_stats, (base_scope, name, parts[2]),
                               parts[3], w)
@@ -317,6 +332,42 @@ def import_torch_resnet(state_dict, params, batch_stats, base_scope="base"):
         except KeyError:
             unmatched.append(key)
     return params, batch_stats, unmatched
+
+
+# CC wraps the torchvision stages in one nn.Sequential
+# (CC/clustercontrast/models/resnet.py:37-39, resnet_ibn.py:35-37):
+# Sequential(conv1, bn1, relu, maxpool, layer1, layer2, layer3, layer4) —
+# indices 2/3 (relu/maxpool) carry no parameters.
+_CC_BASE_MAP = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+                "6": "layer3", "7": "layer4"}
+
+
+def normalize_reference_state_dict(state_dict):
+    """Translate a reference-format checkpoint state dict (the CC
+    ``base.N`` sequential layout, possibly ``module.``-prefixed per
+    ``copy_state_dict(strip='module.')``,
+    CC/clustercontrast/utils/serialization.py:41-61) into the
+    torchvision-style key names ``import_torch_resnet`` consumes.
+
+    Returns ``(translated_dict, gem_p)`` where ``gem_p`` is the trainable
+    GeM pooling power (``gap.p``) if the checkpoint carries one.
+    """
+    out, gem_p = {}, None
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k == "gap.p":
+            gem_p = np.asarray(v)
+            continue
+        if k.startswith("base."):
+            parts = k.split(".")
+            head = _CC_BASE_MAP.get(parts[1])
+            if head is None:       # relu/maxpool — no params expected
+                out[k] = v
+                continue
+            k = ".".join([head] + parts[2:])
+        out[k] = v
+    return out, gem_p
 
 
 def _route_bn(params, batch_stats, scope, field, w):
