@@ -156,7 +156,8 @@ def fd_evaluate_all(distmat, query=None, gallery=None, cmc_topk=(1, 5, 10),
                     dataset=None, top1=True):
     """3-config CMC table (FD/reid/evaluators.py:101-181). allshots/market
     CMC and mAP come from fused rank passes (on-device with an accelerator);
-    the cuhk03 random-sampling mode keeps the reference loop."""
+    the cuhk03 random-sampling mode uses the vectorized 10-repeat sampler
+    (metrics._sgs_rank_metrics_numpy)."""
     query_ids = [pid for _, pid, _ in query]
     gallery_ids = [pid for _, pid, _ in gallery]
     query_cams = [cam for _, _, cam in query]

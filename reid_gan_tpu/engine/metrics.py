@@ -16,8 +16,9 @@ cumsum statistics. The same algorithm has two backends:
 - a jitted JAX kernel (``rank_metrics(..., backend="jax")``) that runs the
   whole pass on the accelerator, where the distance matrix already lives.
 
-The per-query loop survives as the ``single_gallery_shot`` (cuhk03
-random-sampling) mode and as the parity oracles ``_cmc_loop``/
+The ``single_gallery_shot`` (cuhk03) mode is a vectorized 10-repeat
+group-argmax sampling pass (``_sgs_rank_metrics_numpy``). The reference
+per-query loops survive only as parity oracles ``_cmc_loop``/
 ``_mean_ap_loop`` used by the tests. Tie handling is exact: AP uses the
 distinct-threshold formula (tie-group-end precision), CMC follows the sort
 order, which for the numpy backend is the reference's own np.argsort order.
@@ -141,6 +142,68 @@ def _rank_metrics_numpy(distmat, query_ids, gallery_ids, query_cams,
     if valid_q == 0:
         raise RuntimeError("No valid query")
     return ret.cumsum() / valid_q, ap_sum / valid_q
+
+
+def _sgs_rank_metrics_numpy(distmat, query_ids, gallery_ids, query_cams,
+                            gallery_cams, topk, separate_camera_set,
+                            repeat=10, seed=None, chunk=512):
+    """Vectorized ``single_gallery_shot`` CMC (the cuhk03 protocol,
+    ranking.py:40-66): per query and per repeat, sample ONE gallery
+    instance per gallery id from the valid set, then accumulate the
+    all-shots bins over the sampled subset with weight 1/(matches·repeat).
+
+    The per-(query, gallery-id) "pick one uniformly" is vectorized as a
+    random-key argmax: draw u ~ U(0,1) per valid position and keep the
+    positions that attain the per-group maximum (a uniform draw from each
+    group). The estimator matches the reference loop's distribution
+    exactly; individual draws differ from the loop's RandomState.choice
+    sequence, so curves agree exactly only where sampling is deterministic
+    (one instance per id) and statistically otherwise — the loop survives
+    as the oracle in tests/test_metrics.py.
+    """
+    m, n = distmat.shape
+    rng = np.random.RandomState(seed)
+    # dense gallery-id groups (shared across chunks)
+    _, gidx_all = np.unique(gallery_ids, return_inverse=True)
+    num_groups = int(gidx_all.max()) + 1
+    ret = np.zeros(topk)
+    valid_q = 0
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        d = distmat[s:e]
+        qid, qcam = query_ids[s:e], query_cams[s:e]
+        q = e - s
+        order = np.argsort(d, axis=1)
+        g_id = gallery_ids[order]
+        g_cam = gallery_cams[order]
+        gidx = gidx_all[order]
+        match = g_id == qid[:, None]
+        valid = (g_id != qid[:, None]) | (g_cam != qcam[:, None])
+        if separate_camera_set:
+            valid &= g_cam != qcam[:, None]
+        has = (match & valid).any(axis=1)
+        valid_q += int(has.sum())
+        rows = np.broadcast_to(np.arange(q)[:, None], (q, n))
+        for _ in range(repeat):
+            u = np.where(valid, rng.rand(q, n), -1.0)
+            best = np.full((q, num_groups), -2.0)
+            np.maximum.at(best, (rows.ravel(), gidx.ravel()), u.ravel())
+            sampled = valid & (u == best[rows, gidx]) & (u >= 0)
+            vrank = np.cumsum(sampled, axis=1, dtype=np.int32)
+            m_s = match & sampled
+            tps = np.cumsum(m_s, axis=1, dtype=np.int32)
+            nm = tps[:, -1]
+            # j-th sampled match lands in bin (sampled_rank − 1 − j)
+            bins = (vrank - 1) - (tps - 1)
+            ok = has & (nm > 0)
+            w_row = np.divide(1.0, nm * repeat, where=ok,
+                              out=np.zeros(q))
+            sel = m_s & ok[:, None] & (bins < topk)
+            np.add.at(ret, bins[sel], np.broadcast_to(
+                w_row[:, None], (q, n))[sel])
+    if valid_q == 0:
+        raise RuntimeError("No valid query")
+    return ret.cumsum() / valid_q
 
 
 # --------------------------------------------------------------------------
@@ -271,12 +334,18 @@ def cmc(distmat, query_ids=None, gallery_ids=None,
         first_match_break=False, seed=None, backend="numpy"):
     """Cumulative Matching Characteristics
     (parity: CC/clustercontrast/evaluation_metrics/ranking.py:18-79, with the
-    same allshots / cuhk03 / market1501 mode switches). One chunked rank pass
-    except the random-sampling cuhk03 mode, which keeps the reference loop."""
+    same allshots / cuhk03 / market1501 mode switches). Every mode is a
+    chunked vectorized rank pass; the cuhk03 random-sampling mode uses the
+    vectorized 10-repeat group-argmax sampler (see
+    ``_sgs_rank_metrics_numpy``)."""
     if single_gallery_shot:
-        return _cmc_loop(distmat, query_ids, gallery_ids, query_cams,
-                         gallery_cams, topk, separate_camera_set,
-                         single_gallery_shot, first_match_break, seed)
+        distmat = to_numpy(distmat)
+        m, n = distmat.shape
+        query_ids, gallery_ids, query_cams, gallery_cams = _default_ids_cams(
+            m, n, query_ids, gallery_ids, query_cams, gallery_cams)
+        return _sgs_rank_metrics_numpy(
+            distmat, query_ids, gallery_ids, query_cams, gallery_cams,
+            topk=topk, separate_camera_set=separate_camera_set, seed=seed)
     curve, _ = rank_metrics(distmat, query_ids, gallery_ids, query_cams,
                             gallery_cams, topk=topk,
                             separate_camera_set=separate_camera_set,
@@ -296,7 +365,9 @@ def mean_ap(distmat, query_ids=None, gallery_ids=None,
 
 
 # --------------------------------------------------------------------------
-# Reference per-query loops — kept as parity oracles + cuhk03 sampling mode
+# Reference per-query loops — parity oracles for the tests ONLY; no
+# production path reaches them (cmc/mean_ap route every mode through the
+# fused passes above)
 # --------------------------------------------------------------------------
 
 def _cmc_loop(distmat, query_ids=None, gallery_ids=None,
