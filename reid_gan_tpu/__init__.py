@@ -21,3 +21,29 @@ reference files as e.g. ``CC/clustercontrast/models/cm.py:9-33``.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+
+def _disable_numpy_hugepage_madvise():
+    """Keep numpy from madvise(MADV_HUGEPAGE)-ing large buffers.
+
+    On hosts whose THP mode is ``madvise`` with slow synchronous hugepage
+    compaction (measured here: ~320 ms per 2 MB page — 109 s to first-touch a
+    (12936, 12936) fp32 matrix vs 0.41 s without), numpy's default hugepage
+    madvise makes every large allocation (Jaccard/DBSCAN distance matrices,
+    feature banks, CMC buffers) pathologically slow. The env var only works
+    before numpy's first import, so also flip the runtime toggle.
+    """
+    try:
+        import numpy as _np
+
+        mod = getattr(_np, "_core", None) or _np.core
+        mod.multiarray._set_madvise_hugepage(False)
+    except Exception:
+        pass
+
+
+_disable_numpy_hugepage_madvise()

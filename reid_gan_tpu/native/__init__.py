@@ -23,8 +23,10 @@ def ensure_built(force=False):
     if _lib is not None and not force:
         return _lib
     src = osp.join(_DIR, "src", "reidnative.cc")
+    mk = osp.join(_DIR, "Makefile")
     if force or not osp.exists(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+            os.path.getmtime(_LIB_PATH)
+            < max(os.path.getmtime(src), os.path.getmtime(mk))):
         subprocess.run(["make", "-C", _DIR], check=True,
                        capture_output=True, text=True)
     lib = ctypes.CDLL(_LIB_PATH)
@@ -40,6 +42,15 @@ def ensure_built(force=False):
     lib.reid_infomap.argtypes = [ctypes.c_int32, ctypes.c_int64, i32p, i32p,
                                  f32p, ctypes.c_double, ctypes.c_int64, i32p]
     lib.reid_infomap.restype = ctypes.c_int32
+    lib.reid_kreciprocal_v.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
+                                       f32p, ctypes.c_int32, ctypes.c_int32,
+                                       ctypes.c_int32, i32p, f32p, i32p]
+    lib.reid_kreciprocal_v.restype = ctypes.c_int32
+    lib.reid_query_expand.argtypes = [i32p, f32p, i32p, ctypes.c_int32,
+                                      i32p, ctypes.c_int32, ctypes.c_int32,
+                                      ctypes.c_int32, ctypes.c_int32,
+                                      i32p, f32p, i32p]
+    lib.reid_query_expand.restype = ctypes.c_int32
     _lib = lib
     return lib
 
@@ -80,6 +91,79 @@ def jaccard_minsum_native(V, query_num=None):
         _ptr(np.ascontiguousarray(csr.indptr, np.int64), ctypes.c_int64),
         _ptr(np.ascontiguousarray(csr.indices, np.int32), ctypes.c_int32),
         _ptr(np.ascontiguousarray(csr.data, np.float32), ctypes.c_float),
+        _ptr(np.ascontiguousarray(csc.indptr, np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(csc.indices, np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(csc.data, np.float32), ctypes.c_float),
+        n, m, _ptr(out, ctypes.c_float))
+    return out
+
+
+def kreciprocal_v_native(initial_rank, feats, k1, k2):
+    """Sparse k-reciprocal soft-assignment V with k2 query expansion
+    (faiss_rerank.py:43-93 without ever materializing the dense (N, N) V).
+
+    initial_rank: (n, rank_w) int32 kNN table (self first), feats: (n, d)
+    float32 L2-normalized. Returns padded row storage
+    (idx (n, cap) int32, w (n, cap) float32, cnt (n,) int32) of the
+    query-expanded V.
+    """
+    lib = ensure_built()
+    rank = np.ascontiguousarray(initial_rank, np.int32)
+    f = np.ascontiguousarray(feats, np.float32)
+    n, rank_w = rank.shape
+    d = f.shape[1]
+    half = int(np.around(k1 / 2))
+    cap = min(n, (min(k1, rank_w - 1) + 1) * (min(half, rank_w - 1) + 2))
+    while True:
+        idx = np.empty((n, cap), np.int32)
+        w = np.empty((n, cap), np.float32)
+        cnt = np.empty(n, np.int32)
+        need = lib.reid_kreciprocal_v(
+            _ptr(rank, ctypes.c_int32), n, rank_w, _ptr(f, ctypes.c_float),
+            d, int(k1), cap, _ptr(idx, ctypes.c_int32),
+            _ptr(w, ctypes.c_float), _ptr(cnt, ctypes.c_int32))
+        if need <= cap:
+            break
+        cap = need
+    if k2 <= 1:
+        return idx, w, cnt
+    cap_out = min(n, int(k2) * cap)
+    while True:
+        idx2 = np.empty((n, cap_out), np.int32)
+        w2 = np.empty((n, cap_out), np.float32)
+        cnt2 = np.empty(n, np.int32)
+        need = lib.reid_query_expand(
+            _ptr(idx, ctypes.c_int32), _ptr(w, ctypes.c_float),
+            _ptr(cnt, ctypes.c_int32), cap, _ptr(rank, ctypes.c_int32),
+            rank_w, n, int(k2), cap_out, _ptr(idx2, ctypes.c_int32),
+            _ptr(w2, ctypes.c_float), _ptr(cnt2, ctypes.c_int32))
+        if need <= cap_out:
+            break
+        cap_out = need
+    return idx2, w2, cnt2
+
+
+def jaccard_minsum_rows_native(idx, w, cnt, query_num=None):
+    """Jaccard min-sum over padded sparse rows (the kreciprocal_v_native
+    output) → dense (m, n) float32 distance matrix."""
+    lib = ensure_built()
+    n, cap = idx.shape
+    m = n if query_num is None else int(query_num)
+    cnt64 = cnt.astype(np.int64)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(cnt64, out=indptr[1:])
+    mask = np.arange(cap)[None, :] < cnt[:, None]
+    indices = np.ascontiguousarray(idx[mask], np.int32)
+    data = np.ascontiguousarray(w[mask], np.float32)
+    # CSC of V == CSR of Vᵀ
+    from scipy import sparse
+
+    csc = sparse.csr_matrix(
+        (data, indices, indptr), shape=(n, n)).T.tocsr()
+    out = np.empty((m, n), np.float32)
+    lib.reid_jaccard_minsum(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(data, ctypes.c_float),
         _ptr(np.ascontiguousarray(csc.indptr, np.int64), ctypes.c_int64),
         _ptr(np.ascontiguousarray(csc.indices, np.int32), ctypes.c_int32),
         _ptr(np.ascontiguousarray(csc.data, np.float32), ctypes.c_float),

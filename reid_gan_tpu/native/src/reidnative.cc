@@ -113,6 +113,176 @@ void reid_jaccard_minsum(const int64_t* indptr, const int32_t* indices,
 }
 
 // ---------------------------------------------------------------------------
+// k-reciprocal expansion → sparse V rows (faiss_rerank.py:43-88).
+//
+// For each node i: its k-reciprocal neighbor set (within top-k+1 incl. self,
+// mutual-rank test), expanded with the half-k reciprocal sets of candidates
+// whose overlap is > 2/3 of the candidate set, then softmax weights over the
+// cosine distances 2−2·⟨f_i, f_j⟩. Output is padded row storage
+// (out_idx/out_w: (n, cap) row-major, out_cnt: per-row nnz) — V never exists
+// densely, which is what keeps the MSMT17-scale (N≈33k) pseudo-label phase
+// in budget (a dense fp32 V is 4.3 GB and the per-row Python loops dominate).
+// Returns the max row size needed; if > cap the caller must retry with a
+// larger cap (rows beyond cap are truncated, not written out of bounds).
+// ---------------------------------------------------------------------------
+namespace {
+
+// k-reciprocal set of node i: j in rank[i][:kk] with i in rank[j][:kk].
+inline int32_t krecip_set(const int32_t* rank, int32_t rank_w, int32_t i,
+                          int32_t kk, int32_t* out) {
+  const int32_t* fwd = rank + (int64_t)i * rank_w;
+  int32_t cnt = 0;
+  for (int32_t a = 0; a < kk; ++a) {
+    int32_t j = fwd[a];
+    const int32_t* back = rank + (int64_t)j * rank_w;
+    for (int32_t b = 0; b < kk; ++b) {
+      if (back[b] == i) {
+        out[cnt++] = j;
+        break;
+      }
+    }
+  }
+  return cnt;
+}
+
+}  // namespace
+
+int32_t reid_kreciprocal_v(const int32_t* rank, int32_t n, int32_t rank_w,
+                           const float* feats, int32_t d, int32_t k1,
+                           int32_t cap, int32_t* out_idx, float* out_w,
+                           int32_t* out_cnt) {
+  const int32_t kk1 = std::min(k1 + 1, rank_w);
+  // np.around (banker's) rounding for odd k1: nearbyint in the default
+  // to-nearest-even FP mode matches numpy, lround would not (14.5 → 15)
+  const int32_t half = (int32_t)std::nearbyint(k1 / 2.0);
+  const int32_t kkh = std::min(half + 1, rank_w);
+
+  // Pass 1: all k-reciprocal sets (full and half), padded storage.
+  std::vector<int32_t> nn_k1((int64_t)n * kk1), nn_cnt(n);
+  std::vector<int32_t> nn_h((int64_t)n * kkh), nn_hcnt(n);
+  unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
+  {
+    std::atomic<int32_t> next(0);
+    auto work = [&]() {
+      for (;;) {
+        int32_t i = next.fetch_add(1);
+        if (i >= n) return;
+        nn_cnt[i] = krecip_set(rank, rank_w, i, kk1, &nn_k1[(int64_t)i * kk1]);
+        nn_hcnt[i] = krecip_set(rank, rank_w, i, kkh, &nn_h[(int64_t)i * kkh]);
+      }
+    };
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nthreads; ++t) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
+  }
+
+  // Pass 2: expansion + softmax weights.
+  std::atomic<int32_t> next(0), max_need(0);
+  auto work = [&]() {
+    std::vector<int32_t> base, expanded;
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      const int32_t* ki = &nn_k1[(int64_t)i * kk1];
+      int32_t kc = nn_cnt[i];
+      base.assign(ki, ki + kc);
+      std::sort(base.begin(), base.end());
+      expanded.assign(ki, ki + kc);
+      for (int32_t a = 0; a < kc; ++a) {
+        const int32_t* cs = &nn_h[(int64_t)ki[a] * kkh];
+        int32_t cc = nn_hcnt[ki[a]];
+        int32_t inter = 0;
+        for (int32_t b = 0; b < cc; ++b)
+          inter += std::binary_search(base.begin(), base.end(), cs[b]);
+        if (3 * inter > 2 * cc)  // > 2/3 overlap (faiss_rerank.py:76-79)
+          expanded.insert(expanded.end(), cs, cs + cc);
+      }
+      std::sort(expanded.begin(), expanded.end());
+      expanded.erase(std::unique(expanded.begin(), expanded.end()),
+                     expanded.end());
+      int32_t m = (int32_t)expanded.size();
+      int32_t prev = max_need.load();
+      while (m > prev && !max_need.compare_exchange_weak(prev, m)) {
+      }
+      int32_t mw = std::min(m, cap);
+      out_cnt[i] = mw;
+      int32_t* oi = out_idx + (int64_t)i * cap;
+      float* ow = out_w + (int64_t)i * cap;
+      const float* fi = feats + (int64_t)i * d;
+      float esum = 0.f;
+      for (int32_t a = 0; a < mw; ++a) {
+        const float* fj = feats + (int64_t)expanded[a] * d;
+        float dot = 0.f;
+        for (int32_t c = 0; c < d; ++c) dot += fi[c] * fj[c];
+        float e = std::exp(-(2.f - 2.f * dot));
+        oi[a] = expanded[a];
+        ow[a] = e;
+        esum += e;
+      }
+      float inv = esum > 0.f ? 1.f / esum : 0.f;
+      for (int32_t a = 0; a < mw; ++a) ow[a] *= inv;
+    }
+  };
+  std::vector<std::thread> ts;
+  for (unsigned t = 0; t < nthreads; ++t) ts.emplace_back(work);
+  for (auto& t : ts) t.join();
+  return max_need.load();
+}
+
+// ---------------------------------------------------------------------------
+// k2 query expansion over padded sparse rows: row i ← mean of the rows of its
+// top-k2 ranked neighbors (faiss_rerank.py:89-93). Same padded-row format and
+// overflow contract as reid_kreciprocal_v.
+// ---------------------------------------------------------------------------
+int32_t reid_query_expand(const int32_t* in_idx, const float* in_w,
+                          const int32_t* in_cnt, int32_t cap_in,
+                          const int32_t* rank, int32_t rank_w, int32_t n,
+                          int32_t k2, int32_t cap_out, int32_t* out_idx,
+                          float* out_w, int32_t* out_cnt) {
+  const int32_t kq = std::min(k2, rank_w);
+  unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int32_t> next(0), max_need(0);
+  auto work = [&]() {
+    std::vector<std::pair<int32_t, float>> acc;
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      acc.clear();
+      for (int32_t t = 0; t < kq; ++t) {
+        int32_t r = rank[(int64_t)i * rank_w + t];
+        const int32_t* ri = in_idx + (int64_t)r * cap_in;
+        const float* rw = in_w + (int64_t)r * cap_in;
+        for (int32_t a = 0; a < in_cnt[r]; ++a) acc.emplace_back(ri[a], rw[a]);
+      }
+      std::sort(acc.begin(), acc.end());
+      const float inv = 1.f / kq;
+      int32_t m = 0;
+      int32_t* oi = out_idx + (int64_t)i * cap_out;
+      float* ow = out_w + (int64_t)i * cap_out;
+      size_t a = 0;
+      while (a < acc.size()) {
+        int32_t col = acc[a].first;
+        float s = 0.f;
+        while (a < acc.size() && acc[a].first == col) s += acc[a++].second;
+        if (m < cap_out) {
+          oi[m] = col;
+          ow[m] = s * inv;
+        }
+        ++m;
+      }
+      int32_t prev = max_need.load();
+      while (m > prev && !max_need.compare_exchange_weak(prev, m)) {
+      }
+      out_cnt[i] = std::min(m, cap_out);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (unsigned t = 0; t < nthreads; ++t) ts.emplace_back(work);
+  for (auto& t : ts) t.join();
+  return max_need.load();
+}
+
+// ---------------------------------------------------------------------------
 // Two-level directed map-equation community detection ("Infomap").
 //
 // Flow model: PageRank with teleportation tau over out-weight-normalized

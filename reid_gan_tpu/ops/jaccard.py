@@ -74,13 +74,22 @@ def _min_sum_jaccard(V, query_num=None, native="auto"):
 
 
 def compute_jaccard_distance(features, k1=30, k2=6, print_flag=True,
-                             search_option=None, use_float16=False):
+                             search_option=None, use_float16=False,
+                             native="auto"):
     """Jaccard distance over k-reciprocal encodings for pseudo-labeling
     (parity: CC/clustercontrast/utils/faiss_rerank.py:30-123; the faiss kNN
     backends are replaced by the TPU blockwise kNN).
 
     features: (N, D) L2-normalized host/jax array. Returns (N, N) float
     matrix, zeros clipped.
+
+    The hot path (native="auto"/True with libreidnative built) keeps V sparse
+    end to end — C++ k-reciprocal expansion, k2 query expansion and min-sum —
+    so the only dense (N, N) array is the returned Jaccard matrix. At MSMT17
+    scale (N=32,621) the reference's layout would need a 4.3 GB dense fp32 V
+    plus a 12.7 GB transient for the k2 gather; this path needs ~0.1 GB of
+    sparse rows (validated by scripts/validate_msmt_scale.py). use_float16
+    downcasts the RETURNED matrix only (V itself is never dense here).
     """
     import time
 
@@ -95,6 +104,23 @@ def compute_jaccard_distance(features, k1=30, k2=6, print_flag=True,
     # width, matching the reference where initial_rank comes from a k1-wide
     # faiss search (faiss_rerank.py:43 + :23-27)
     _, initial_rank = knn_search(feats, k=min(k1, n), metric="l2")
+
+    if native in ("auto", True):
+        try:
+            from ..native import (jaccard_minsum_rows_native,
+                                  kreciprocal_v_native)
+
+            idx, w, cnt = kreciprocal_v_native(initial_rank, feats, k1, k2)
+            jaccard = jaccard_minsum_rows_native(idx, w, cnt)
+            if use_float16:
+                jaccard = jaccard.astype(np.float16)
+            if print_flag:
+                print("Jaccard distance computing time cost:"
+                      f" {time.time() - end}")
+            return jaccard
+        except Exception:
+            if native is True:
+                raise
 
     nn_k1 = [k_reciprocal_neigh(initial_rank, i, k1) for i in range(n)]
     half = int(np.around(k1 / 2))
