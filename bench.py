@@ -130,7 +130,7 @@ def bench_joint_gan_train(batch=64, height=256, width=128, gh=128, gw=64,
     enc_vars = encoder.init(jax.random.PRNGKey(0),
                             jnp.zeros((batch, height, width, 3)), train=True)
     gan = AEModel(GANConfig(model="AE", model_gen="Pose"), gan_height=gh,
-                  gan_width=gw, reid_feat_dim=2048)
+                  gan_width=gw, reid_feat_dim=2048, dtype=jnp.bfloat16)
     gan_state = gan.init_state(jax.random.PRNGKey(1))
     centers = rng.randn(k, 2048).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
@@ -176,7 +176,41 @@ def bench_joint_gan_train(batch=64, height=256, width=128, gh=128, gw=64,
     return batch * iters / dt
 
 
+def bench_loader(batch=64, num_workers=4, iters=40):
+    """Host data-loader throughput (img/s decoded + collated + staged) at the
+    production worker count, on Market-sized JPEGs in the joint-training
+    'with_gan' mode (reid decode + GAN resize + keypoints). This closes the
+    end-to-end claim: epoch rate = min(host staging, device step)."""
+    import tempfile
+
+    from reid_gan_tpu.data import IterLoader
+    from reid_gan_tpu.data.datasets import create as create_dataset
+    from reid_gan_tpu.data.loader import DataLoader, Preprocessor
+    from reid_gan_tpu.data.sampler import RandomMultipleGallerySampler
+
+    with tempfile.TemporaryDirectory() as root:
+        ds = create_dataset("synthetic", root, num_ids=64, num_cams=3,
+                            imgs_per_id=8, height=128, width=64)
+        pre = Preprocessor(list(ds.train), mode="with_gan", height=256,
+                           width=128, gan_height=128, gan_width=64,
+                           pose_file=getattr(ds, "train_pose_dir", None),
+                           flip_all=True)
+        sampler = RandomMultipleGallerySampler(ds.train, num_instances=4)
+        loader = IterLoader(DataLoader(pre, sampler=sampler, batch_size=batch,
+                                       num_workers=num_workers), length=iters)
+        loader.new_epoch()
+        loader.next()                      # spin up the pool + prefetch
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            loader.next()
+        dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def main():
+    from reid_gan_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     _log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
     _log("bench: eval extraction ...")
     ips = bench_extraction()
@@ -187,6 +221,9 @@ def main():
     _log("bench: joint GAN train_all step ...")
     joint_ips = bench_joint_gan_train()
     _log(f"  joint train_all: {joint_ips:.0f} img/s")
+    _log("bench: host loader (with_gan mode, 4 workers) ...")
+    loader_ips = bench_loader()
+    _log(f"  loader: {loader_ips:.0f} img/s")
 
     print(json.dumps({
         "metric": "resnet50_feature_extraction_images_per_sec_per_chip",
@@ -198,6 +235,7 @@ def main():
             "usl_train_vs_baseline": round(
                 train_ips / BASELINE_TRAIN_IMGS_PER_SEC, 3),
             "joint_gan_train_imgs_per_sec": round(joint_ips, 1),
+            "loader_imgs_per_sec": round(loader_ips, 1),
         },
     }))
 

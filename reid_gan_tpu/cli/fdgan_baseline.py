@@ -22,12 +22,13 @@ from ..engine.fdgan import CascadeEvaluator, SiameseTrainer
 from ..models import siamese_baseline
 from ..models.embedding import EltwiseSubEmbed
 from ..models.resnet import FDResNet
-from ..utils import Logger
+from ..utils import Logger, enable_compilation_cache
 from ..utils.serialization import load_checkpoint, save_checkpoint
 
 
 def main(argv=None, depth=50, mesh=None):
     cfg = parse_config(argv, sections=("data", "model", "optim", "train"))
+    enable_compilation_cache()
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir, "opt.txt")
     if mesh is False:      # explicit opt-out (tests, single-chip benchmarks)

@@ -18,13 +18,14 @@ from ..data.datasets import create as create_dataset
 from ..data.loader import DataLoader, Preprocessor
 from ..data.sampler import RandomPairSampler
 from ..models.fdgan.model import FDGANModel
-from ..utils import AverageMeter, Logger
+from ..utils import AverageMeter, Logger, enable_compilation_cache
 from ..utils.serialization import load_networks, save_networks
 from ..utils.visualizer import Visualizer
 
 
 def main(argv=None, mesh=None):
     cfg = parse_config(argv, sections=("data", "model", "optim", "train", "gan", "fdgan"))
+    enable_compilation_cache()
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir, "opt.txt")
     if mesh is False:      # explicit opt-out (tests, single-chip benchmarks)

@@ -16,12 +16,15 @@ from ..data.datasets import create as create_dataset
 from ..data.loader import DataLoader, Preprocessor
 from ..engine.evaluators import Evaluator, FeatureExtractor
 from ..models import create as create_model
+from ..utils import enable_compilation_cache
 from ..utils.serialization import load_checkpoint
 
 
 def main(argv=None, mesh=None):
     argv = sys.argv[1:] if argv is None else argv
-    extra = argparse.ArgumentParser()
+    # allow_abbrev=False: parse_known_args must not prefix-match flags meant
+    # for the main config parser (e.g. --resume would bind to --resume-torch)
+    extra = argparse.ArgumentParser(allow_abbrev=False)
     extra.add_argument("--rerank", action="store_true")
     extra.add_argument("--resume-torch", default="",
                        help="reference-format torch .pth checkpoint "
@@ -36,6 +39,7 @@ def main(argv=None, mesh=None):
                             "(default: target)")
     ns, rest = extra.parse_known_args(argv)
     cfg = parse_config(rest, sections=("data", "model", "cluster", "train"))
+    enable_compilation_cache()
 
     dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)
     model = create_model(cfg.model.arch, num_features=cfg.model.features,

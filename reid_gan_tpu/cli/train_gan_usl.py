@@ -29,7 +29,7 @@ from ..engine.usl import cluster_epoch, make_train_loader
 from ..models import create as create_model
 from ..models.dual_gan.models import create_model as create_gan
 from ..ops.transforms import gan_input_transform
-from ..utils import Logger
+from ..utils import Logger, enable_compilation_cache
 from ..utils.serialization import load_checkpoint, save_checkpoint, save_networks
 from ..utils.visualizer import Visualizer
 
@@ -74,6 +74,7 @@ def compute_conf_weight(gan, gan_state, pseudo_dataset, memory, cfg,
 
 def main(argv=None, mesh=None):
     cfg = parse_config(argv, sections=("data", "model", "optim", "cluster", "train", "gan"))
+    enable_compilation_cache()
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir)
     if mesh is False:      # explicit opt-out (tests, single-chip benchmarks)
@@ -88,7 +89,8 @@ def main(argv=None, mesh=None):
 
     feat_dim = 512 if any(d in cfg.model.arch for d in ("18", "34")) else 2048
     gan = create_gan(cfg.gan, gan_height=cfg.data.gan_height,
-                     gan_width=cfg.data.gan_width, reid_feat_dim=feat_dim)
+                     gan_width=cfg.data.gan_width, reid_feat_dim=feat_dim,
+                     dtype=jnp.bfloat16 if cfg.train.fp16 else None)
     gan_state = gan.init_state(jax.random.PRNGKey(cfg.train.seed))
     save_dir = osp.join(cfg.gan.save_dir, cfg.gan.name)
     iter_path = osp.join(save_dir, "iter.txt")

@@ -15,6 +15,7 @@ import os.path as osp
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import dump_config, parse_config
@@ -23,13 +24,14 @@ from ..data.datasets import create as create_dataset
 from ..data.loader import DataLoader, Preprocessor
 from ..engine.gan_trainers import GANTrainer
 from ..models.dual_gan.models import create_model as create_gan
-from ..utils import Logger
+from ..utils import Logger, enable_compilation_cache
 from ..utils.serialization import load_networks, save_networks
 from ..utils.visualizer import Visualizer
 
 
 def main(argv=None, mesh=None):
     cfg = parse_config(argv, sections=("data", "model", "optim", "cluster", "train", "gan"))
+    enable_compilation_cache()
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir)
     if mesh is False:      # explicit opt-out (tests, single-chip benchmarks)
@@ -41,7 +43,8 @@ def main(argv=None, mesh=None):
 
     dataset = create_dataset(cfg.data.dataset, cfg.data.data_dir, verbose=True)
     gan = create_gan(cfg.gan, gan_height=cfg.data.gan_height,
-                     gan_width=cfg.data.gan_width)
+                     gan_width=cfg.data.gan_width,
+                     dtype=jnp.bfloat16 if cfg.train.fp16 else None)
     gan_state = gan.init_state(jax.random.PRNGKey(cfg.train.seed))
     save_dir = osp.join(cfg.gan.save_dir, cfg.gan.name)
     if cfg.gan.continue_train:

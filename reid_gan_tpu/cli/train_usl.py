@@ -25,7 +25,7 @@ from ..engine.trainers import ClusterContrastTrainer
 from ..engine.usl import cluster_epoch, make_train_loader
 from ..models import create as create_model
 from ..parallel.mesh import get_mesh
-from ..utils import Logger
+from ..utils import Logger, enable_compilation_cache
 from ..utils.serialization import load_checkpoint, save_checkpoint
 from ..data.datasets import create as create_dataset
 
@@ -33,6 +33,7 @@ from ..data.datasets import create as create_dataset
 def main(argv=None, mesh=None):
     cfg = parse_config(argv, sections=("data", "model", "optim", "cluster", "train"))
     start = time.monotonic()
+    enable_compilation_cache()
     sys.stdout = Logger(osp.join(cfg.train.logs_dir, "log.txt"))
     dump_config(cfg, cfg.train.logs_dir)
     print("==> Config written; starting USL training")

@@ -25,18 +25,19 @@ class DPTNModel:
     def __init__(self, cfg, gan_height=128, gan_width=64, num_feats=256, ngf=64,
                  layers_g=3, num_blocks=3, dis_layers=3,
                  use_spect_g=False, use_spect_d=True, norm="batch",
-                 vgg_params=None, reid_feat_dim=2048):
+                 vgg_params=None, reid_feat_dim=2048, dtype=None):
         self.cfg = cfg
         self.h, self.w = gan_height, gan_width
         self.gan_mode = cfg.gan_mode
         self.t_s_ratio = cfg.t_s_ratio
+        self.dtype = dtype
         self.net_G = define_G("DPTN", image_nc=3, pose_nc=cfg.pose_channels,
                               ngf=ngf, img_f=num_feats, encoder_layer=layers_g,
                               norm=norm, activation="LeakyReLU",
                               use_spect=use_spect_g, output_nc=3,
-                              num_blocks=num_blocks)
+                              num_blocks=num_blocks, dtype=dtype)
         self.net_D = define_D(input_nc=3, ndf=32, img_f=128, layers=dis_layers,
-                              use_spect=use_spect_d)
+                              use_spect=use_spect_d, dtype=dtype)
         self.use_vgg = cfg.use_vgg
         self.vgg = VGGLoss(vgg_params) if cfg.use_vgg else None
         self.tx_G = optax.inject_hyperparams(

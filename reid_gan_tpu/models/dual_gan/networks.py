@@ -10,7 +10,7 @@ Parity: CC/dual_gan/models/networks.py —
 - ResDiscriminator (:917-956)
 """
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -57,15 +57,18 @@ class SourceEncoder(nn.Module):
     activation: str = "LeakyReLU"
     use_spect: bool = False
     use_coord: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, source, train: bool = False):
         out = EncoderBlockOptimized(self.ngf, self.norm, self.activation,
                                     self.use_spect, self.use_coord,
+                                    dtype=self.dtype,
                                     name="block0")(source, train)
         for i, mult in enumerate(_enc_mults(self.ngf, self.img_f, self.layers)[1:]):
             out = EncoderBlock(self.ngf * mult, self.norm, self.activation,
                                self.use_spect, self.use_coord,
+                               dtype=self.dtype,
                                name=f"encoder{i}")(out, train)
         return out
 
@@ -77,17 +80,21 @@ class ResizeReID(nn.Module):
     norm: str = "batch"
     activation: str = "LeakyReLU"
     use_spect: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         n, h, w, c = x.shape
         x = jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bicubic")
         y = ResBlock(self.ngf, norm=self.norm, activation=self.activation,
-                     use_spect=self.use_spect, name="resblock1")(x, train)
+                     use_spect=self.use_spect, dtype=self.dtype,
+                     name="resblock1")(x, train)
         y = ResBlock(self.ngf, norm=self.norm, activation=self.activation,
-                     use_spect=self.use_spect, name="resblock2")(y, train)
+                     use_spect=self.use_spect, dtype=self.dtype,
+                     name="resblock2")(y, train)
         y = ResBlock(c, norm=self.norm, activation=self.activation,
-                     use_spect=self.use_spect, name="resblock3")(y, train)
+                     use_spect=self.use_spect, dtype=self.dtype,
+                     name="resblock3")(y, train)
         return x + y
 
 
@@ -101,6 +108,7 @@ class _Decoder(nn.Module):
     activation: str = "LeakyReLU"
     use_spect: bool = False
     skip_add: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feature, skips=None, train: bool = False):
@@ -108,11 +116,13 @@ class _Decoder(nn.Module):
         for i, m in enumerate(_dec_mults(self.ngf, self.img_f, self.layers, mult)):
             feature = ResBlockDecoder(self.ngf * m, self.ngf * m, self.norm,
                                       self.activation, self.use_spect,
+                                      dtype=self.dtype,
                                       name=f"decoder{i}")(feature, train)
             if self.skip_add and skips and i < self.layers - 1:
                 feature = feature + skips.pop()
         return Output(self.output_nc, 3, "none", self.activation,
-                      self.use_spect, name="outconv")(feature, train)
+                      self.use_spect, dtype=self.dtype,
+                      name="outconv")(feature, train)
 
 
 class AEGenerator(nn.Module):
@@ -127,22 +137,26 @@ class AEGenerator(nn.Module):
     use_coord: bool = False
     output_nc: int = 3
     num_blocks: int = 3
+    dtype: Any = None
 
     def setup(self):
         self.block0 = EncoderBlockOptimized(self.ngf, self.norm, self.activation,
-                                            self.use_spect, self.use_coord)
+                                            self.use_spect, self.use_coord,
+                                            dtype=self.dtype)
         mults = _enc_mults(self.ngf, self.img_f, self.layers)
         self.encoders = [EncoderBlock(self.ngf * m, self.norm, self.activation,
-                                      self.use_spect, self.use_coord)
+                                      self.use_spect, self.use_coord,
+                                      dtype=self.dtype)
                          for m in mults[1:]]
         self.mblocks = [ResBlock(self.ngf * mults[-1], norm=self.norm,
                                  activation=self.activation,
                                  use_spect=self.use_spect,
-                                 use_coord=self.use_coord)
+                                 use_coord=self.use_coord,
+                                 dtype=self.dtype)
                         for _ in range(self.num_blocks)]
         self.decoder = _Decoder(self.ngf, self.img_f, self.layers,
                                 self.output_nc, self.norm, self.activation,
-                                self.use_spect)
+                                self.use_spect, dtype=self.dtype)
 
     def __call__(self, inputs, train: bool = False):
         return self.forward_dec(self.forward_enc(inputs, train), train)
@@ -169,19 +183,21 @@ class DECGenerator1(nn.Module):
     use_spect: bool = False
     output_nc: int = 3
     num_blocks: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feature, train: bool = False):
         mult = 4
         f = FeatureAdaptBlock1(self.ngf * mult, self.norm, self.activation,
+                               dtype=self.dtype,
                                name="feature_block")(feature, train)
         for i in range(self.num_blocks):
             f = ResBlock(self.ngf * mult, norm=self.norm,
                          activation=self.activation, use_spect=self.use_spect,
-                         name=f"mblock{i}")(f, train)
+                         dtype=self.dtype, name=f"mblock{i}")(f, train)
         return _Decoder(self.ngf, self.img_f, self.layers, self.output_nc,
                         self.norm, self.activation, self.use_spect,
-                        name="dec")(f, train=train)
+                        dtype=self.dtype, name="dec")(f, train=train)
 
 
 class FDGenerator(nn.Module):
@@ -194,6 +210,7 @@ class FDGenerator(nn.Module):
     dropout: float = 0.0
     fuse_mode: str = "none"
     bottleneck_hw: Tuple[int, int] = (8, 4)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, reid_feature, noise=None, train: bool = False):
@@ -202,16 +219,17 @@ class FDGenerator(nn.Module):
         elif self.fuse_mode == "add":
             ncm = max(self.reid_feature_nc, self.noise_nc)
             feat = (nn.Dense(ncm, use_bias=False, kernel_init=orth_init,
-                             name="W_reid")(reid_feature) +
+                             dtype=self.dtype, name="W_reid")(reid_feature) +
                     nn.Dense(ncm, use_bias=False, kernel_init=orth_init,
-                             name="W_noise")(noise))
+                             dtype=self.dtype, name="W_noise")(noise))
         else:
             feat = nn.Dense(self.reid_feature_nc, use_bias=False,
-                            kernel_init=orth_init, name="W_reid")(reid_feature)
+                            kernel_init=orth_init, dtype=self.dtype,
+                            name="W_reid")(reid_feature)
         y = nn.relu(feat)[:, None, None, :]
         y = nn.ConvTranspose(self.ngf * 8, self.bottleneck_hw, padding="VALID",
                              use_bias=False, kernel_init=orth_init,
-                             name="de_avg_conv")(y)
+                             dtype=self.dtype, name="de_avg_conv")(y)
         bn = make_norm("batch", "de_avg_bn", train)
         y = bn(y)
         y = nn.Dropout(self.dropout, name="de_avg_drop")(y, deterministic=not train)
@@ -221,6 +239,7 @@ class FDGenerator(nn.Module):
             y = nn.relu(y)
             y = nn.ConvTranspose(out_c, (4, 4), (2, 2), padding="SAME",
                                  use_bias=False, kernel_init=orth_init,
+                                 dtype=self.dtype,
                                  name=f"de_conv{5 - i}_conv")(y)
             y = make_norm("batch", f"de_conv{5 - i}_bn", train)(y)
             y = nn.Dropout(self.dropout, name=f"de_conv{5 - i}_drop")(
@@ -228,8 +247,8 @@ class FDGenerator(nn.Module):
         y = nn.relu(y)
         y = nn.ConvTranspose(self.output_nc, (4, 4), (2, 2), padding="SAME",
                              use_bias=False, kernel_init=orth_init,
-                             name="de_conv1_conv")(y)
-        return jnp.tanh(y)
+                             dtype=self.dtype, name="de_conv1_conv")(y)
+        return jnp.tanh(y).astype(jnp.float32)
 
 
 class PoseGenerator1(nn.Module):
@@ -248,11 +267,13 @@ class PoseGenerator1(nn.Module):
     nhead: int = 2
     num_CABs: int = 2
     num_TTBs: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, reid_f, source_pose, train: bool = False):
         f_p = EncoderBlockOptimized(self.ngf, self.norm, self.activation,
                                     self.use_spect, self.use_coord,
+                                    dtype=self.dtype,
                                     name="block0")(source_pose, train)
         skips = []
         mults = _enc_mults(self.ngf, self.img_f, self.layers)
@@ -260,22 +281,26 @@ class PoseGenerator1(nn.Module):
             skips.append(f_p)
             f_p = EncoderBlock(self.ngf * m, self.norm, self.activation,
                                self.use_spect, self.use_coord,
+                               dtype=self.dtype,
                                name=f"encoder{i}")(f_p, train)
         d_model = self.ngf * mults[-1]
         f_id = FeatureAdaptBlock1(d_model, self.norm, self.activation,
+                                  dtype=self.dtype,
                                   name="feature_block")(reid_f, train)
         f_g = PCTM(d_model, self.nhead, self.num_CABs, self.num_TTBs,
                    dim_feedforward=d_model, activation="LeakyReLU",
-                   affine=self.affine, norm=self.norm,
+                   affine=self.affine, norm=self.norm, dtype=self.dtype,
                    name="PCTM")(f_p, f_id, train=train)
         for i, m in enumerate(_dec_mults(self.ngf, self.img_f, self.layers, None)):
             f_g = ResBlockDecoder(self.ngf * m, self.ngf * m, self.norm,
                                   self.activation, self.use_spect,
+                                  dtype=self.dtype,
                                   name=f"decoder{i}")(f_g, train)
             if i < self.layers - 1:
                 f_g = f_g + skips.pop()
         return Output(self.output_nc, 3, "none", self.activation,
-                      self.use_spect, name="outconv")(f_g, train)
+                      self.use_spect, dtype=self.dtype,
+                      name="outconv")(f_g, train)
 
 
 class PoseAEGenerator(nn.Module):
@@ -294,28 +319,31 @@ class PoseAEGenerator(nn.Module):
     nhead: int = 2
     num_CABs: int = 2
     num_TTBs: int = 2
+    dtype: Any = None
 
     def setup(self):
         mults = _enc_mults(self.ngf, self.img_f, self.layers)
         self.block0_p = EncoderBlockOptimized(self.ngf, self.norm,
                                               self.activation, self.use_spect,
-                                              self.use_coord)
+                                              self.use_coord, dtype=self.dtype)
         self.block0_i = EncoderBlockOptimized(self.ngf, self.norm,
                                               self.activation, self.use_spect,
-                                              self.use_coord)
+                                              self.use_coord, dtype=self.dtype)
         self.encoders_i = [EncoderBlock(self.ngf * m, self.norm,
                                         self.activation, self.use_spect,
-                                        self.use_coord) for m in mults[1:]]
+                                        self.use_coord, dtype=self.dtype)
+                           for m in mults[1:]]
         self.encoders_p = [EncoderBlock(self.ngf * m, self.norm,
                                         self.activation, self.use_spect,
-                                        self.use_coord) for m in mults[1:]]
+                                        self.use_coord, dtype=self.dtype)
+                           for m in mults[1:]]
         d_model = self.ngf * mults[-1]
         self.pctm = PCTM(d_model, self.nhead, self.num_CABs, self.num_TTBs,
                          dim_feedforward=d_model, activation="LeakyReLU",
-                         affine=self.affine, norm=self.norm)
+                         affine=self.affine, norm=self.norm, dtype=self.dtype)
         self.decoder = _Decoder(self.ngf, self.img_f, self.layers,
                                 self.output_nc, self.norm, self.activation,
-                                self.use_spect)
+                                self.use_spect, dtype=self.dtype)
 
     def __call__(self, source_image, target_pose, train: bool = False):
         f_i, f_p = self.forward_enc(source_image, target_pose, train)
@@ -351,30 +379,34 @@ class DPTNGenerator(nn.Module):
     nhead: int = 2
     num_CABs: int = 2
     num_TTBs: int = 2
+    dtype: Any = None
 
     def setup(self):
         mults = _enc_mults(self.ngf, self.img_f, self.layers)
         self.block0 = EncoderBlockOptimized(self.ngf, self.norm,
                                             self.activation, self.use_spect,
-                                            self.use_coord)
+                                            self.use_coord, dtype=self.dtype)
         self.encoders = [EncoderBlock(self.ngf * m, self.norm, self.activation,
-                                      self.use_spect, self.use_coord)
+                                      self.use_spect, self.use_coord,
+                                      dtype=self.dtype)
                          for m in mults[1:]]
         d_model = self.ngf * mults[-1]
         self.mblocks = [ResBlock(d_model, norm=self.norm,
                                  activation=self.activation,
                                  use_spect=self.use_spect,
-                                 use_coord=self.use_coord)
+                                 use_coord=self.use_coord,
+                                 dtype=self.dtype)
                         for _ in range(self.num_blocks)]
         self.ptm = PTM(d_model, self.nhead, self.num_CABs, self.num_TTBs,
                        dim_feedforward=d_model, activation="LeakyReLU",
-                       affine=self.affine, norm=self.norm)
+                       affine=self.affine, norm=self.norm, dtype=self.dtype)
         self.source_encoder = SourceEncoder(self.ngf, self.img_f, self.layers,
                                             self.norm, self.activation,
-                                            self.use_spect, self.use_coord)
+                                            self.use_spect, self.use_coord,
+                                            dtype=self.dtype)
         self.decoder = _Decoder(self.ngf, self.img_f, self.layers,
                                 self.output_nc, self.norm, self.activation,
-                                self.use_spect)
+                                self.use_spect, dtype=self.dtype)
 
     def _encode(self, x, train):
         f = self.block0(x, train)
@@ -406,11 +438,13 @@ class ResDiscriminator(nn.Module):
     norm: str = "none"
     activation: str = "LeakyReLU"
     use_spect: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = ResBlockEncoderOptimized(self.ndf, self.ndf, self.norm,
                                        self.activation, self.use_spect,
+                                       dtype=self.dtype,
                                        name="block0")(x, train)
         mult = 1
         for i in range(self.layers - 1):
@@ -418,45 +452,52 @@ class ResDiscriminator(nn.Module):
             mult = min(2 ** (i + 1), self.img_f // self.ndf)
             out = ResBlockEncoder(self.ndf * mult, self.ndf * mult_prev,
                                   self.norm, self.activation, self.use_spect,
+                                  dtype=self.dtype,
                                   name=f"encoder{i}")(out, train)
         out = get_nonlinearity(self.activation)(out)
+        # D scores leave in fp32 so the GAN losses accumulate full-precision
         return SpectralConv(1, (1, 1), padding=0, use_spect=True,
-                            name="conv")(out, train)
+                            dtype=self.dtype,
+                            name="conv")(out, train).astype(jnp.float32)
 
 
 def define_G(model_gen="AE", image_nc=3, pose_nc=18, ngf=64, img_f=256,
              encoder_layer=3, norm="batch", activation="LeakyReLU",
              use_spect=False, use_coord=False, output_nc=3, num_blocks=3,
-             affine=True, nhead=2, num_CABs=2, num_TTBs=2):
-    """Generator factory (networks.py:14-33)."""
+             affine=True, nhead=2, num_CABs=2, num_TTBs=2, dtype=None):
+    """Generator factory (networks.py:14-33). ``dtype`` is the compute
+    dtype (bf16 runs the conv/attention FLOPs on the MXU half-precision;
+    params/norms/spectral iteration stay fp32 — see base_function)."""
     if model_gen == "DPTN":
         return DPTNGenerator(image_nc, pose_nc, ngf, img_f, encoder_layer,
                              norm, activation, use_spect, use_coord, output_nc,
-                             num_blocks, affine, nhead, num_CABs, num_TTBs)
+                             num_blocks, affine, nhead, num_CABs, num_TTBs,
+                             dtype=dtype)
     if model_gen == "AE":
         return AEGenerator(image_nc, ngf, img_f, encoder_layer, norm,
                            activation, use_spect, use_coord, output_nc,
-                           num_blocks)
+                           num_blocks, dtype=dtype)
     if model_gen == "DEC":
         return DECGenerator1(ngf, img_f, encoder_layer, norm, activation,
-                             use_spect, output_nc, num_blocks)
+                             use_spect, output_nc, num_blocks, dtype=dtype)
     if model_gen == "FD":
         return FDGenerator(img_f, ngf, noise_nc=512, output_nc=3,
-                           fuse_mode="add")
+                           fuse_mode="add", dtype=dtype)
     if model_gen == "Pose":
         return PoseGenerator1(ngf, pose_nc, img_f, encoder_layer, norm,
                               activation, use_spect, use_coord, output_nc,
-                              affine, nhead, num_CABs, num_TTBs)
+                              affine, nhead, num_CABs, num_TTBs, dtype=dtype)
     if model_gen == "PoseAE":
         return PoseAEGenerator(ngf, image_nc, pose_nc, img_f, encoder_layer,
                                norm, activation, use_spect, use_coord,
-                               output_nc, affine, nhead, num_CABs, num_TTBs)
+                               output_nc, affine, nhead, num_CABs, num_TTBs,
+                               dtype=dtype)
     raise ValueError(f"generator {model_gen} not implemented")
 
 
 def define_D(input_nc=3, ndf=32, img_f=128, layers=3, norm="none",
-             activation="LeakyReLU", use_spect=True):
+             activation="LeakyReLU", use_spect=True, dtype=None):
     """Discriminator factory (networks.py:36-38; AEModel uses ndf=32,
     img_f=128, AE_model.py:100)."""
     return ResDiscriminator(input_nc, ndf, img_f, layers, norm, activation,
-                            use_spect)
+                            use_spect, dtype=dtype)

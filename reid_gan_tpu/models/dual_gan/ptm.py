@@ -12,7 +12,7 @@ InstanceNorm1d (per-sample stats over L). Xavier-uniform init of all >1-dim
 params (PTM.py:45-48).
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -34,7 +34,8 @@ class _SeqNorm(nn.Module):
                                 epsilon=1e-5, use_bias=self.affine,
                                 use_scale=self.affine, name="bn",
                                 axis=-1)(x)
-        # instance: per-(B, C) stats over L
+        # instance: per-(B, C) stats over L (always reduced in fp32)
+        x = jnp.asarray(x, jnp.float32)
         mean = jnp.mean(x, axis=1, keepdims=True)
         var = jnp.var(x, axis=1, keepdims=True)
         y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + 1e-5))
@@ -46,10 +47,10 @@ class _SeqNorm(nn.Module):
         return y
 
 
-def _attn(d_model, nhead, name):
+def _attn(d_model, nhead, name, dtype=None):
     return nn.MultiHeadDotProductAttention(
         num_heads=nhead, qkv_features=d_model, out_features=d_model,
-        kernel_init=xavier, name=name)
+        kernel_init=xavier, dtype=dtype, name=name)
 
 
 def _with_pos(t, pos):
@@ -64,18 +65,20 @@ class CAB(nn.Module):
     activation: str = "LeakyReLU"
     affine: bool = True
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, src, pos=None, train: bool = False):
         q = k = _with_pos(src, pos)
-        src2 = _attn(self.d_model, self.nhead, "self_attn")(q, k, src)
+        src2 = _attn(self.d_model, self.nhead, "self_attn",
+                     self.dtype)(q, k, src)
         src = src + src2
         src = _SeqNorm(self.norm, self.affine, name="norm1")(src, train)
         act = get_nonlinearity(self.activation)
         src2 = nn.Dense(self.dim_feedforward, kernel_init=xavier,
-                        name="linear1")(src)
+                        dtype=self.dtype, name="linear1")(src)
         src2 = nn.Dense(self.d_model, kernel_init=xavier,
-                        name="linear2")(act(src2))
+                        dtype=self.dtype, name="linear2")(act(src2))
         src = src + src2
         return _SeqNorm(self.norm, self.affine, name="norm2")(src, train)
 
@@ -89,22 +92,24 @@ class TTB(nn.Module):
     activation: str = "LeakyReLU"
     affine: bool = True
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, memory, val, pos=None, train: bool = False):
         q = k = _with_pos(tgt, pos)
-        tgt2 = _attn(self.d_model, self.nhead, "self_attn")(q, k, tgt)
+        tgt2 = _attn(self.d_model, self.nhead, "self_attn",
+                     self.dtype)(q, k, tgt)
         tgt = tgt + tgt2
         tgt = _SeqNorm(self.norm, self.affine, name="norm1")(tgt, train)
-        tgt2 = _attn(self.d_model, self.nhead, "multihead_attn")(
+        tgt2 = _attn(self.d_model, self.nhead, "multihead_attn", self.dtype)(
             _with_pos(tgt, pos), _with_pos(memory, pos), val)
         tgt = tgt + tgt2
         tgt = _SeqNorm(self.norm, self.affine, name="norm2")(tgt, train)
         act = get_nonlinearity(self.activation)
         tgt2 = nn.Dense(self.dim_feedforward, kernel_init=xavier,
-                        name="linear1")(tgt)
+                        dtype=self.dtype, name="linear1")(tgt)
         tgt2 = nn.Dense(self.d_model, kernel_init=xavier,
-                        name="linear2")(act(tgt2))
+                        dtype=self.dtype, name="linear2")(act(tgt2))
         tgt = tgt + tgt2
         return _SeqNorm(self.norm, self.affine, name="norm3")(tgt, train)
 
@@ -119,6 +124,7 @@ class PTM(nn.Module):
     activation: str = "LeakyReLU"
     affine: bool = True
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, src, tgt, val, pos_embed=None, train: bool = False):
@@ -128,12 +134,12 @@ class PTM(nn.Module):
         memory = src_s
         for i in range(self.num_CABs):
             memory = CAB(self.d_model, self.nhead, self.dim_feedforward,
-                         self.activation, self.affine, self.norm,
+                         self.activation, self.affine, self.norm, self.dtype,
                          name=f"cab{i}")(memory, pos_embed, train)
         out = tgt_s
         for i in range(self.num_TTBs):
             out = TTB(self.d_model, self.nhead, self.dim_feedforward,
-                      self.activation, self.affine, self.norm,
+                      self.activation, self.affine, self.norm, self.dtype,
                       name=f"ttb{i}")(out, memory, val_s, pos_embed, train)
         out = _SeqNorm(self.norm, self.affine, name="decoder_norm")(out, train)
         return out.reshape(n, h, w, c)
@@ -149,6 +155,7 @@ class PCTM(nn.Module):
     activation: str = "LeakyReLU"
     affine: bool = True
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, value, pos_embed=None, train: bool = False):
@@ -158,12 +165,12 @@ class PCTM(nn.Module):
         memory = v_s
         for i in range(self.num_CABs):
             memory = CAB(self.d_model, self.nhead, self.dim_feedforward,
-                         self.activation, self.affine, self.norm,
+                         self.activation, self.affine, self.norm, self.dtype,
                          name=f"cab{i}")(memory, pos_embed, train)
         out = q_s
         for i in range(self.num_TTBs):
             out = TTB(self.d_model, self.nhead, self.dim_feedforward,
-                      self.activation, self.affine, self.norm,
+                      self.activation, self.affine, self.norm, self.dtype,
                       name=f"ttb{i}")(out, memory, memory, pos_embed, train)
         out = _SeqNorm(self.norm, self.affine, name="decoder_norm")(out, train)
         return out.reshape(n, h, w, c)
