@@ -112,15 +112,38 @@ class ResNetBipD(nn.Module):
         return {"feat": bn_x, "gan_feat": gan_feat}
 
 
+class PredictorMLP(nn.Module):
+    """SimSiam-style 2-layer predictor head
+    (resnet_mp.py:177-197 _build_mlp(2, dim, 2*dim, dim, last_bn=False)):
+    Linear(dim→2·dim, no bias) → BN1d → ReLU → Linear(2·dim→dim, no bias)."""
+    dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Dense(2 * self.dim, use_bias=False, name="fc1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(y)
+        y = nn.relu(y)
+        return nn.Dense(self.dim, use_bias=False, name="fc2")(y)
+
+
 class ResNetMP(nn.Module):
     """Multi-part backbone: global branch + upper/lower part pooling, sum/cat
     fusion, 1×1 GAN projection (CC/clustercontrast/models/resnet_mp.py:85-158).
+
+    ``need_predictor`` builds the SimSiam predictor MLP
+    (resnet_mp.py:81-83,195-197, built when need_predictor=opt.cl_loss at
+    examples/...infomap.py:191) and, during training, returns its output as
+    ``pred`` — the reference builds-but-never-calls it (its cl_loss trainer
+    uses are commented out); here the intended ``predictor(f_gc)`` semantics
+    are live so ops.losses.cl_loss can consume it.
     """
     depth: int = 50
     norm: bool = True
     dropout: float = 0.0
     num_proj: int = 256
     fusion: str = "sum"
+    need_predictor: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -169,9 +192,18 @@ class ResNetMP(nn.Module):
             if clustering or test_all:
                 out["gan_feat"] = gan_feat
                 out["feat_g"] = f_g
+            if self.need_predictor:
+                # keep the predictor params in the variable tree regardless of
+                # mode so checkpoints round-trip (reference registers it as a
+                # submodule unconditionally when need_predictor)
+                PredictorMLP(x_gc.shape[-1], name="predictor")(x_gc, False)
             return out
-        return {"feat": f_gc, "feat_g": f_g, "feat_p1": f_p1, "feat_p2": f_p2,
-                "gan_feat": gan_feat}
+        out = {"feat": f_gc, "feat_g": f_g, "feat_p1": f_p1, "feat_p2": f_p2,
+               "gan_feat": gan_feat}
+        if self.need_predictor:
+            out["pred"] = PredictorMLP(x_gc.shape[-1],
+                                       name="predictor")(x_gc, train)
+        return out
 
 
 def resnet_bip50(**kw):

@@ -56,6 +56,16 @@ def memory_loss(x, targets, state, temp=0.05, ex_f=None, group_size=1):
     """Per-sample InfoNCE against the (stop-gradient) bank
     (cm.py:123-137). Gradient flows only to ``x``.
 
+    This plain-XLA formulation IS the fast path on TPU: a hand-written
+    flash-softmax Pallas kernel (streamed K-blocks, custom VJP) was
+    benchmarked against it on a real v5e chip at B=256, D=2048 and lost at
+    every bank size — value_and_grad ms, XLA vs best Pallas config:
+    K=1,024: 0.69 vs 0.68 (1.02x); K=10,240: 1.28 vs 1.59 (0.81x);
+    K=30,720: 2.71 vs 3.71 (0.73x). XLA fuses the (B,K) logits matmul with
+    the masked log-sum-exp well at these shapes, and the kernel pays a
+    second logits matmul in its backward. The kernel was removed (r3);
+    resurrect from git history only with a shape regime that beats this.
+
     ex_f: optional (T, D) extended synthetic negatives appended to the logits
     with the −10000·I repeat-interleave self-mask of
     ClusterMemory_Gradient.forward (cm.py:158-182).

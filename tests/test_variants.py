@@ -53,6 +53,23 @@ def test_resnet_mp_parts():
     for k in ("feat", "feat_g", "feat_p1", "feat_p2", "gan_feat"):
         assert k in out
     assert out["gan_feat"].shape[-1] == 256
+    assert "pred" not in out            # predictor off by default
+
+
+def test_resnet_mp_predictor():
+    """need_predictor builds the SimSiam 2-layer MLP
+    (resnet_mp.py:81-83,195-197: Linear(d,2d) → BN → ReLU → Linear(2d,d),
+    no last BN) and returns its output during training."""
+    m = create("resnet_mp50", need_predictor=True)
+    v, out = _train_out(m)
+    d = out["feat"].shape[-1]
+    assert out["pred"].shape == (out["feat"].shape[0], d)
+    pp = v["params"]["predictor"]
+    assert pp["fc1"]["kernel"].shape == (d, 2 * d)
+    assert pp["fc2"]["kernel"].shape == (2 * d, d)
+    assert "bias" not in pp["fc1"] and "bias" not in pp["fc2"]
+    # eval keeps the predictor params in the tree but not the output
+    assert "pred" not in m.apply(v, jnp.zeros((2, 64, 32, 3)), train=False)
 
 
 def test_dsbn_roundtrip():
