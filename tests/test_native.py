@@ -89,3 +89,39 @@ def test_infomap_cluster_pipeline(rng):
         assert len(block) > 10
         vals, counts = np.unique(block, return_counts=True)
         assert counts.max() / len(block) > 0.9
+
+
+def _clustered_feats(rng, n=300, d=64, k=12):
+    centers = rng.randn(k, d).astype(np.float32)
+    f = centers[rng.randint(k, size=n)] + \
+        0.3 * rng.randn(n, d).astype(np.float32)
+    return f / np.linalg.norm(f, axis=1, keepdims=True)
+
+
+def test_sparse_kreciprocal_pipeline_matches_dense(rng):
+    """The end-to-end sparse C++ pipeline (kreciprocal_v_native →
+    jaccard_minsum_rows_native, the MSMT-scale hot path) must equal the dense
+    python fallback of compute_jaccard_distance (faiss_rerank.py:43-115
+    semantics) on clustered data, including the k2 query expansion."""
+    from reid_gan_tpu.ops.jaccard import compute_jaccard_distance
+
+    feats = _clustered_feats(rng)
+    for k1, k2 in ((20, 6), (12, 1)):       # k2=1 skips query expansion
+        sparse = compute_jaccard_distance(feats, k1=k1, k2=k2,
+                                          print_flag=False, native=True)
+        dense = compute_jaccard_distance(feats, k1=k1, k2=k2,
+                                         print_flag=False, native=False)
+        np.testing.assert_allclose(sparse, dense, atol=2e-5)
+
+
+def test_sparse_jaccard_fp16_output(rng):
+    """use_float16 downcasts only the returned matrix on the sparse path."""
+    from reid_gan_tpu.ops.jaccard import compute_jaccard_distance
+
+    feats = _clustered_feats(rng, n=120)
+    d32 = compute_jaccard_distance(feats, k1=15, k2=4, print_flag=False,
+                                   native=True)
+    d16 = compute_jaccard_distance(feats, k1=15, k2=4, print_flag=False,
+                                   native=True, use_float16=True)
+    assert d16.dtype == np.float16
+    np.testing.assert_allclose(d16.astype(np.float32), d32, atol=1e-3)
