@@ -19,29 +19,24 @@ from ..utils import Timer
 
 def build_knn_links(features, k=15, min_sim=0.55):
     """Edge list (src, dst, sim) over the top-k IP neighbors with sim ≥
-    min_sim; isolated nodes returned separately."""
+    min_sim; isolated nodes returned separately.
+
+    Vectorized: knn_search returns neighbors sorted by descending
+    similarity, so the reference's early-break scan (get_links :129-144 —
+    append while sim ≥ min_sim, skip self, break below threshold) reduces
+    to the mask ``(sim ≥ min_sim) & (nbr ≠ self)``. The per-row Python loop
+    this replaces cost ~16 s at MSMT scale (N=32,621, k=15)."""
     feats = np.asarray(features, np.float32)
     sims, nbrs = knn_search(feats, k=k, metric="ip")
+    sims, nbrs = np.asarray(sims), np.asarray(nbrs)
     n = feats.shape[0]
-    src, dst, w = [], [], []
-    single = []
-    for i in range(n):
-        count = 0
-        for j in range(k):
-            nb = nbrs[i, j]
-            if nb == i:
-                continue
-            if sims[i, j] >= min_sim:
-                src.append(i)
-                dst.append(int(nb))
-                w.append(float(sims[i, j]))
-                count += 1
-            else:
-                break  # neighbors sorted by similarity (get_links :138)
-        if count == 0:
-            single.append(i)
-    return (np.asarray(src, np.int32), np.asarray(dst, np.int32),
-            np.asarray(w, np.float32), single)
+    mask = (sims >= min_sim) & (nbrs != np.arange(n, dtype=nbrs.dtype)[:, None])
+    src = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None],
+                          mask.shape)[mask]
+    dst = nbrs[mask].astype(np.int32)
+    w = sims[mask].astype(np.float32)
+    single = np.nonzero(~mask.any(axis=1))[0].tolist()
+    return src, dst, w, single
 
 
 def cluster_by_infomap(features, k=15, min_sim=0.55, cluster_num=2,

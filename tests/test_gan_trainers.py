@@ -134,3 +134,90 @@ def test_joint_cli_debug_epoch(tmp_path):
     sys.stdout = sys.__stdout__
     assert 0.0 <= best <= 1.0
     assert (tmp_path / "ckpt" / "experiment" / "latest_net_G.msgpack").exists()
+
+
+def test_train_all_vjp_equals_double_forward():
+    """The single-forward jax.vjp restructure of train_all (r3) must produce
+    the SAME updated encoder/G/D parameters as the original double-forward
+    formulation (no-grad enc+G forward for the D step, then a
+    value_and_grad over a joint loss that re-runs both forwards —
+    trainers_b.py:617-814 structure). Same linearization point =>
+    identical gradients up to float reassociation."""
+    import optax
+
+    from reid_gan_tpu.engine.gan_trainers import (
+        _cords_to_map,
+        gan_input_transform,
+        memory_loss,
+        reid_augment,
+    )
+
+    trainer, state, batch = _setup()
+    gan = trainer.gan
+    seed, conf_mask = 7, jnp.ones(batch["img"].shape[0], jnp.float32)
+
+    # --- reference: the old double-forward step (same RNG derivation) ---
+    def old_step(state):
+        k_aug, k_d, k_g = jax.random.split(jax.random.PRNGKey(seed), 3)
+        x = reid_augment(k_aug, batch["img"], height=trainer.h,
+                         width=trainer.w, train=True)
+        targets = batch["pid"]
+        xs = gan_input_transform(batch["Xs"], gan.h, gan.w)
+        pm = jax.vmap(lambda c, o: _cords_to_map(c, o, gan.h, gan.w))(
+            batch["keypoints"], batch["old_size"])
+        ps = jnp.transpose(pm, (0, 2, 3, 1))
+
+        _, f_gan0, _ = trainer._enc(state.enc_params, state.enc_batch_stats,
+                                    x, True)
+        f_gan0 = jax.lax.stop_gradient(f_gan0)
+        fake0 = jax.lax.stop_gradient(gan.synthesize_p(state.gan.G, f_gan0, ps))
+
+        def d_loss_fn(d_params):
+            return gan.d_loss(d_params, state.gan.D["batch_stats"], xs,
+                              fake0, k_d)
+
+        (loss_D, d_bs), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.gan.D["params"])
+        d_updates, opt_D = gan.tx_D.update(d_grads, state.gan.opt_D,
+                                           state.gan.D["params"])
+        d_params = optax.apply_updates(state.gan.D["params"], d_updates)
+        D_new = {"params": d_params, "batch_stats": d_bs}
+
+        def joint_loss_fn(packed):
+            enc_params, g_params = packed
+            f_out, f_gan, bs = trainer._enc(enc_params, state.enc_batch_stats,
+                                            x, True)
+            G = {"params": g_params,
+                 "batch_stats": state.gan.G["batch_stats"]}
+            fake = gan.synthesize_p(G, jax.lax.stop_gradient(f_gan), ps)
+            loss_G = gan.get_loss_G(D_new, fake, xs)
+            losses_cl, _ = memory_loss(f_out, targets, state.memory,
+                                       temp=trainer.temp)
+            loss_cl = (losses_cl * conf_mask).mean()
+            return loss_cl + loss_G, None
+
+        (_, _), (enc_grads, g_grads) = jax.value_and_grad(
+            joint_loss_fn, has_aux=True)(
+                (state.enc_params, state.gan.G["params"]))
+        enc_updates, _ = trainer.tx.update(enc_grads, state.enc_opt,
+                                           state.enc_params)
+        enc_params = optax.apply_updates(state.enc_params, enc_updates)
+        g_updates, _ = gan.tx_G.update(g_grads, state.gan.opt_G,
+                                       state.gan.G["params"])
+        g_params = optax.apply_updates(state.gan.G["params"], g_updates)
+        return enc_params, g_params, d_params
+
+    ref_enc, ref_g, ref_d = jax.jit(old_step)(state)
+
+    new_state, _ = jax.jit(trainer._make_train_all_step())(
+        state, {k: jnp.asarray(v) for k, v in batch.items()}, seed, conf_mask)
+
+    for name, got, want in (("enc", new_state.enc_params, ref_enc),
+                            ("G", new_state.gan.G["params"], ref_g),
+                            ("D", new_state.gan.D["params"], ref_d)):
+        flat_got = jax.tree_util.tree_leaves(got)
+        flat_want = jax.tree_util.tree_leaves(want)
+        for a, b in zip(flat_got, flat_want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4,
+                                       err_msg=f"{name} params diverge")
