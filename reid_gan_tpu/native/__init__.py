@@ -46,6 +46,11 @@ def ensure_built(force=False):
                                        f32p, ctypes.c_int32, ctypes.c_int32,
                                        ctypes.c_int32, i32p, f32p, i32p]
     lib.reid_kreciprocal_v.restype = ctypes.c_int32
+    lib.reid_kreciprocal_v_dist.argtypes = [i32p, ctypes.c_int32,
+                                            ctypes.c_int32, f32p,
+                                            ctypes.c_int32, ctypes.c_int32,
+                                            i32p, f32p, i32p]
+    lib.reid_kreciprocal_v_dist.restype = ctypes.c_int32
     lib.reid_query_expand.argtypes = [i32p, f32p, i32p, ctypes.c_int32,
                                       i32p, ctypes.c_int32, ctypes.c_int32,
                                       ctypes.c_int32, ctypes.c_int32,
@@ -98,30 +103,19 @@ def jaccard_minsum_native(V, query_num=None):
     return out
 
 
-def kreciprocal_v_native(initial_rank, feats, k1, k2):
-    """Sparse k-reciprocal soft-assignment V with k2 query expansion
-    (faiss_rerank.py:43-93 without ever materializing the dense (N, N) V).
-
-    initial_rank: (n, rank_w) int32 kNN table (self first), feats: (n, d)
-    float32 L2-normalized. Returns padded row storage
-    (idx (n, cap) int32, w (n, cap) float32, cnt (n,) int32) of the
-    query-expanded V.
+def _kreciprocal_rows(lib, rank, k1, k2, call):
+    """Shared retry + k2-query-expansion driver for the two V builders.
+    ``call(cap, idx, w, cnt)`` runs the C kernel and returns the max row size
+    needed; rows beyond cap are truncated, so we retry with the reported cap.
     """
-    lib = ensure_built()
-    rank = np.ascontiguousarray(initial_rank, np.int32)
-    f = np.ascontiguousarray(feats, np.float32)
     n, rank_w = rank.shape
-    d = f.shape[1]
     half = int(np.around(k1 / 2))
     cap = min(n, (min(k1, rank_w - 1) + 1) * (min(half, rank_w - 1) + 2))
     while True:
         idx = np.empty((n, cap), np.int32)
         w = np.empty((n, cap), np.float32)
         cnt = np.empty(n, np.int32)
-        need = lib.reid_kreciprocal_v(
-            _ptr(rank, ctypes.c_int32), n, rank_w, _ptr(f, ctypes.c_float),
-            d, int(k1), cap, _ptr(idx, ctypes.c_int32),
-            _ptr(w, ctypes.c_float), _ptr(cnt, ctypes.c_int32))
+        need = call(cap, idx, w, cnt)
         if need <= cap:
             break
         cap = need
@@ -141,6 +135,48 @@ def kreciprocal_v_native(initial_rank, feats, k1, k2):
             break
         cap_out = need
     return idx2, w2, cnt2
+
+
+def kreciprocal_v_native(initial_rank, feats, k1, k2):
+    """Sparse k-reciprocal soft-assignment V with k2 query expansion
+    (faiss_rerank.py:43-93 without ever materializing the dense (N, N) V).
+
+    initial_rank: (n, rank_w) int32 kNN table (self first), feats: (n, d)
+    float32 L2-normalized. Returns padded row storage
+    (idx (n, cap) int32, w (n, cap) float32, cnt (n,) int32) of the
+    query-expanded V.
+    """
+    lib = ensure_built()
+    rank = np.ascontiguousarray(initial_rank, np.int32)
+    f = np.ascontiguousarray(feats, np.float32)
+    n, rank_w = rank.shape
+    d = f.shape[1]
+
+    def call(cap, idx, w, cnt):
+        return lib.reid_kreciprocal_v(
+            _ptr(rank, ctypes.c_int32), n, rank_w, _ptr(f, ctypes.c_float),
+            d, int(k1), cap, _ptr(idx, ctypes.c_int32),
+            _ptr(w, ctypes.c_float), _ptr(cnt, ctypes.c_int32))
+
+    return _kreciprocal_rows(lib, rank, k1, k2, call)
+
+
+def kreciprocal_v_dist_native(initial_rank, dist, k1, k2):
+    """Same sparse V build, but weights exp(-dist[i, j]) from a dense (n, n)
+    distance matrix — the eval re-ranking flavor (rerank.py:55-71)."""
+    lib = ensure_built()
+    rank = np.ascontiguousarray(initial_rank, np.int32)
+    d = np.ascontiguousarray(dist, np.float32)
+    n, rank_w = rank.shape
+    assert d.shape == (n, n)
+
+    def call(cap, idx, w, cnt):
+        return lib.reid_kreciprocal_v_dist(
+            _ptr(rank, ctypes.c_int32), n, rank_w, _ptr(d, ctypes.c_float),
+            int(k1), cap, _ptr(idx, ctypes.c_int32),
+            _ptr(w, ctypes.c_float), _ptr(cnt, ctypes.c_int32))
+
+    return _kreciprocal_rows(lib, rank, k1, k2, call)
 
 
 def jaccard_minsum_rows_native(idx, w, cnt, query_num=None):

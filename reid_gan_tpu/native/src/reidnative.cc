@@ -147,10 +147,16 @@ inline int32_t krecip_set(const int32_t* rank, int32_t rank_w, int32_t i,
 
 }  // namespace
 
-int32_t reid_kreciprocal_v(const int32_t* rank, int32_t n, int32_t rank_w,
-                           const float* feats, int32_t d, int32_t k1,
-                           int32_t cap, int32_t* out_idx, float* out_w,
-                           int32_t* out_cnt) {
+}  // extern "C" — templates may not have C linkage
+
+namespace {
+
+// Shared body of the k-reciprocal V builders; WeightFn(i, j) -> unnormalized
+// weight of column j in row i (softmax numerator).
+template <class WeightFn>
+int32_t kreciprocal_v_impl(const int32_t* rank, int32_t n, int32_t rank_w,
+                           int32_t k1, int32_t cap, int32_t* out_idx,
+                           float* out_w, int32_t* out_cnt, WeightFn weight) {
   const int32_t kk1 = std::min(k1 + 1, rank_w);
   // np.around (banker's) rounding for odd k1: nearbyint in the default
   // to-nearest-even FP mode matches numpy, lround would not (14.5 → 15)
@@ -208,13 +214,9 @@ int32_t reid_kreciprocal_v(const int32_t* rank, int32_t n, int32_t rank_w,
       out_cnt[i] = mw;
       int32_t* oi = out_idx + (int64_t)i * cap;
       float* ow = out_w + (int64_t)i * cap;
-      const float* fi = feats + (int64_t)i * d;
       float esum = 0.f;
       for (int32_t a = 0; a < mw; ++a) {
-        const float* fj = feats + (int64_t)expanded[a] * d;
-        float dot = 0.f;
-        for (int32_t c = 0; c < d; ++c) dot += fi[c] * fj[c];
-        float e = std::exp(-(2.f - 2.f * dot));
+        float e = weight(i, expanded[a]);
         oi[a] = expanded[a];
         ow[a] = e;
         esum += e;
@@ -227,6 +229,39 @@ int32_t reid_kreciprocal_v(const int32_t* rank, int32_t n, int32_t rank_w,
   for (unsigned t = 0; t < nthreads; ++t) ts.emplace_back(work);
   for (auto& t : ts) t.join();
   return max_need.load();
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t reid_kreciprocal_v(const int32_t* rank, int32_t n, int32_t rank_w,
+                           const float* feats, int32_t d, int32_t k1,
+                           int32_t cap, int32_t* out_idx, float* out_w,
+                           int32_t* out_cnt) {
+  // softmax over cosine distances 2-2*<f_i, f_j> (faiss_rerank.py:81-85)
+  auto weight = [feats, d](int32_t i, int32_t j) {
+    const float* fi = feats + (int64_t)i * d;
+    const float* fj = feats + (int64_t)j * d;
+    float dot = 0.f;
+    for (int32_t c = 0; c < d; ++c) dot += fi[c] * fj[c];
+    return std::exp(-(2.f - 2.f * dot));
+  };
+  return kreciprocal_v_impl(rank, n, rank_w, k1, cap, out_idx, out_w,
+                            out_cnt, weight);
+}
+
+// Same expansion, but weights from a dense row-major (n, n) distance matrix:
+// w = exp(-dist[i, j]) (the eval-time re-ranking flavor, rerank.py:66-71).
+int32_t reid_kreciprocal_v_dist(const int32_t* rank, int32_t n,
+                                int32_t rank_w, const float* dist, int32_t k1,
+                                int32_t cap, int32_t* out_idx, float* out_w,
+                                int32_t* out_cnt) {
+  auto weight = [dist, n](int32_t i, int32_t j) {
+    return std::exp(-dist[(int64_t)i * n + j]);
+  };
+  return kreciprocal_v_impl(rank, n, rank_w, k1, cap, out_idx, out_w,
+                            out_cnt, weight);
 }
 
 // ---------------------------------------------------------------------------

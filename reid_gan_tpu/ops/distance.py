@@ -50,10 +50,13 @@ def pairwise_distance(query, gallery=None, block_rows=4096):
     q = jnp.asarray(query, jnp.float32)
     g = q if gallery is None else jnp.asarray(gallery, jnp.float32)
     m = q.shape[0]
-    out = []
-    for s in range(0, m, block_rows):
-        out.append(np.asarray(squared_euclidean(q[s:s + block_rows], g)))
-    return np.concatenate(out, axis=0)
+    q, nblocks = _pad_query_blocks(q, block_rows)
+    # dispatch every block before the first host sync: XLA queues the matmuls
+    # back-to-back and the device→host copies overlap compute
+    out = [squared_euclidean(q[s:s + block_rows], g)
+           for s in range(0, nblocks * block_rows, block_rows)] \
+        if nblocks > 1 else [squared_euclidean(q, g)]
+    return np.concatenate([np.asarray(o) for o in out], axis=0)[:m]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -81,6 +84,20 @@ def knn_ip_block(q_block, gallery_n, k):
     return sim, idx
 
 
+def _pad_query_blocks(q, block_rows):
+    """Pad the query side to a block_rows multiple so every block compiles to
+    ONE program shape (a ragged tail block would force a second XLA compile —
+    seconds of wasted cold-start per epoch). Single-block inputs are returned
+    unpadded. Returns (padded queries, number of blocks)."""
+    m = q.shape[0]
+    if m <= block_rows:
+        return q, 1
+    pad = (-m) % block_rows
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)], 0)
+    return q, q.shape[0] // block_rows
+
+
 def knn_search(features, k, metric="l2", block_rows=4096):
     """All-pairs k-NN of a feature set against itself, streamed in blocks.
 
@@ -93,10 +110,12 @@ def knn_search(features, k, metric="l2", block_rows=4096):
 
     f = jnp.asarray(features, jnp.float32)
     n = f.shape[0]
-    vals, idxs = [], []
     fn = knn_block if metric == "l2" else knn_ip_block
-    for s in range(0, n, block_rows):
-        v, i = fn(f[s:s + block_rows], f, k)
-        vals.append(np.asarray(v))
-        idxs.append(np.asarray(i))
-    return np.concatenate(vals, 0), np.concatenate(idxs, 0)
+    q, nblocks = _pad_query_blocks(f, block_rows)
+    # async dispatch of all blocks; host copies overlap device compute
+    res = [fn(q[s:s + block_rows], f, k)
+           for s in range(0, nblocks * block_rows, block_rows)] \
+        if nblocks > 1 else [fn(q, f, k)]
+    vals = np.concatenate([np.asarray(v) for v, _ in res], 0)[:n]
+    idxs = np.concatenate([np.asarray(i) for _, i in res], 0)[:n]
+    return vals, idxs

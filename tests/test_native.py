@@ -125,3 +125,22 @@ def test_sparse_jaccard_fp16_output(rng):
                                    native=True, use_float16=True)
     assert d16.dtype == np.float16
     np.testing.assert_allclose(d16.astype(np.float32), d32, atol=1e-3)
+
+
+def test_native_reranking_matches_python(rng):
+    """Eval-time re-ranking: the threaded C++ path (partial-sort rank table →
+    reid_kreciprocal_v_dist → query expand → min-sum) must equal the python
+    fallback, which is the parity oracle for rerank.py:31-97 semantics."""
+    from reid_gan_tpu.ops.jaccard import re_ranking
+
+    f = _clustered_feats(rng, n=160)
+    q, g = f[:40], f[40:]
+
+    def d(a, b):
+        return cdist(a, b, "sqeuclidean").astype(np.float32)
+
+    args = (d(q, g), d(q, q), d(g, g))
+    for k1, k2 in ((20, 6), (10, 1)):
+        fast = re_ranking(*args, k1=k1, k2=k2, native=True)
+        slow = re_ranking(*args, k1=k1, k2=k2, native=False)
+        np.testing.assert_allclose(fast, slow, atol=2e-5)
