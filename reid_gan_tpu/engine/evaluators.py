@@ -110,15 +110,16 @@ def extract_features(extractor, data_loader, print_freq=50):
     return features, labels
 
 
-def pairwise_distance(features, query=None, gallery=None):
+def pairwise_distance(features, query=None, gallery=None, mesh=None):
     """Distance matrix from the fname-keyed feature dict
-    (parity: evaluators.py:71-88). Returns (distmat, x, y)."""
+    (parity: evaluators.py:71-88). Returns (distmat, x, y). With ``mesh``
+    the row blocks are sharded over the data axis (ops/distance.py)."""
     if query is None and gallery is None:
         x = np.stack(list(features.values()))
-        return _pairwise(x), x, x
+        return _pairwise(x, mesh=mesh), x, x
     x = np.stack([features[f] for f, _, _ in query])
     y = np.stack([features[f] for f, _, _ in gallery])
-    return _pairwise(x, y), x, y
+    return _pairwise(x, y, mesh=mesh), x, y
 
 
 def evaluate_all(distmat, query=None, gallery=None,
@@ -151,13 +152,14 @@ class Evaluator:
         self.extractor = extractor
 
     def evaluate(self, data_loader, query, gallery, cmc_flag=False, rerank=False):
+        mesh = getattr(self.extractor, "mesh", None)
         features = extract_features(self.extractor, data_loader)[0]
-        distmat, _, _ = pairwise_distance(features, query, gallery)
+        distmat, _, _ = pairwise_distance(features, query, gallery, mesh=mesh)
         results = evaluate_all(distmat, query=query, gallery=gallery, cmc_flag=cmc_flag)
         if not rerank:
             return results
         print("Applying person re-ranking ...")
-        distmat_qq, _, _ = pairwise_distance(features, query, query)
-        distmat_gg, _, _ = pairwise_distance(features, gallery, gallery)
+        distmat_qq, _, _ = pairwise_distance(features, query, query, mesh=mesh)
+        distmat_gg, _, _ = pairwise_distance(features, gallery, gallery, mesh=mesh)
         distmat = re_ranking(distmat, distmat_qq, distmat_gg)
         return evaluate_all(distmat, query=query, gallery=gallery, cmc_flag=cmc_flag)

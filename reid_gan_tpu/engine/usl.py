@@ -33,25 +33,26 @@ def generate_cluster_features(labels, features):
 
 
 def pseudo_labels_dbscan(features, eps=0.4, min_samples=4, k1=30, k2=6,
-                         print_flag=True):
+                         print_flag=True, mesh=None):
     """Jaccard distance + DBSCAN (CC/examples/cluster_contrast_train_usl.py:
     154-164)."""
     with Timer("jaccard", verbose=print_flag):
         dist = compute_jaccard_distance(features, k1=k1, k2=k2,
-                                        print_flag=print_flag)
+                                        print_flag=print_flag, mesh=mesh)
     with Timer("dbscan", verbose=print_flag):
         labels = dbscan(dist, eps=eps, min_samples=min_samples)
     return labels
 
 
 def pseudo_labels_infomap(features, eps=0.5, k1=15, print_flag=True,
-                          cluster_num=4):
+                          cluster_num=4, mesh=None):
     """faiss-IP kNN graph + Infomap communities, outliers → singletons
     (CC/clustercontrast/utils/infomap_cluster.py:147-227)."""
     from ..clustering.infomap import cluster_by_infomap
 
     return cluster_by_infomap(features, k=k1, min_sim=eps,
-                              cluster_num=cluster_num, print_flag=print_flag)
+                              cluster_num=cluster_num, print_flag=print_flag,
+                              mesh=mesh)
 
 
 def build_pseudo_dataset(train_set, labels):
@@ -96,22 +97,25 @@ def make_train_loader(train_set, height, width, batch_size, num_instances,
 
 def cluster_epoch(extractor, dataset, train_set, cfg, k_pad=None,
                   backend=None, print_flag=True):
-    """One clustering phase → (memory_state, pseudo_dataset, num_clusters)."""
+    """One clustering phase → (memory_state, pseudo_dataset, num_clusters).
+    The kNN/Jaccard row blocks are sharded over the extractor's mesh when it
+    has one (SURVEY.md §5.8 blockwise-matmul design)."""
     feats, gan_feats = extract_train_features(extractor, dataset, train_set,
                                               cfg.data.height, cfg.data.width,
                                               batch_size=cfg.data.batch_size,
                                               workers=cfg.data.workers)
+    mesh = getattr(extractor, "mesh", None)
     backend = backend or cfg.cluster.cluster_backend
     if backend == "dbscan":
         labels = pseudo_labels_dbscan(feats, eps=cfg.cluster.eps,
                                       min_samples=cfg.cluster.min_samples,
                                       k1=cfg.cluster.k1, k2=cfg.cluster.k2,
-                                      print_flag=print_flag)
+                                      print_flag=print_flag, mesh=mesh)
     elif backend == "infomap":
         labels = pseudo_labels_infomap(feats, eps=cfg.cluster.eps,
                                        k1=cfg.cluster.k1,
                                        cluster_num=cfg.cluster.k2,
-                                       print_flag=print_flag)
+                                       print_flag=print_flag, mesh=mesh)
     elif backend == "kmeans":
         from ..clustering.kmeans import kmeans_labels
 

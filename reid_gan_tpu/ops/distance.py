@@ -37,19 +37,51 @@ def cosine_similarity(x, y):
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def pairwise_distance(query, gallery=None, block_rows=4096):
+def _mesh_query_blocks(query, block_rows, mesh):
+    """Host query rows → list of device blocks row-sharded over the mesh,
+    each the same shape (one compiled program; SURVEY.md §5.8: per-chip block
+    matmul against a replicated gallery)."""
+    import numpy as np
+
+    from ..parallel.mesh import batch_sharding
+
+    qh = np.asarray(query, np.float32)
+    n = qh.shape[0]
+    n_dev = mesh.devices.size
+    blk = min(block_rows * n_dev, -(-n // n_dev) * n_dev)
+    pad = (-n) % blk
+    if pad:
+        qh = np.concatenate([qh, np.zeros((pad, qh.shape[1]), qh.dtype)], 0)
+    sh = batch_sharding(mesh, 2)
+    return [jax.device_put(qh[s:s + blk], sh)
+            for s in range(0, qh.shape[0], blk)]
+
+
+def pairwise_distance(query, gallery=None, block_rows=4096, mesh=None):
     """Full distance matrix, streamed in row blocks (device memory bound by
     block_rows×n). With ``gallery=None`` computes the self-distance matrix
-    (parity: CC/clustercontrast/evaluators.py:71-88).
+    (parity: CC/clustercontrast/evaluators.py:71-88). With ``mesh``, each
+    block's rows are sharded over the data axis — every chip computes its
+    row-slab against the replicated gallery (block_rows rows per chip).
 
     Inputs/outputs are host numpy or jax arrays; result is a host array for
     consumption by the (host-side) CMC/mAP and clustering code.
     """
     import numpy as np
 
+    m = query.shape[0]
+    if mesh is not None:
+        from ..parallel.mesh import replicated_sharding
+
+        g = jax.device_put(
+            np.asarray(query if gallery is None else gallery, np.float32),
+            replicated_sharding(mesh))
+        out = [squared_euclidean(qb, g)
+               for qb in _mesh_query_blocks(query, block_rows, mesh)]
+        return np.concatenate([np.asarray(o) for o in out], axis=0)[:m]
+
     q = jnp.asarray(query, jnp.float32)
     g = q if gallery is None else jnp.asarray(gallery, jnp.float32)
-    m = q.shape[0]
     q, nblocks = _pad_query_blocks(q, block_rows)
     # dispatch every block before the first host sync: XLA queues the matmuls
     # back-to-back and the device→host copies overlap compute
@@ -98,24 +130,35 @@ def _pad_query_blocks(q, block_rows):
     return q, q.shape[0] // block_rows
 
 
-def knn_search(features, k, metric="l2", block_rows=4096):
+def knn_search(features, k, metric="l2", block_rows=4096, mesh=None):
     """All-pairs k-NN of a feature set against itself, streamed in blocks.
 
     Self-match included as the first neighbor (distance 0 / sim 1), matching
     faiss behavior the reference relies on (k_reciprocal uses k1+1 neighbors
-    including self, faiss_rerank.py:23-27).
+    including self, faiss_rerank.py:23-27). With ``mesh``, query rows are
+    sharded over the data axis against the replicated feature matrix — the
+    multi-chip replacement for faiss's sharded GPU index
+    (CC/clustercontrast/utils/faiss_utils.py:93-105).
     Returns host arrays (vals (N,k), idx (N,k)).
     """
     import numpy as np
 
-    f = jnp.asarray(features, jnp.float32)
-    n = f.shape[0]
+    n = features.shape[0]
     fn = knn_block if metric == "l2" else knn_ip_block
-    q, nblocks = _pad_query_blocks(f, block_rows)
-    # async dispatch of all blocks; host copies overlap device compute
-    res = [fn(q[s:s + block_rows], f, k)
-           for s in range(0, nblocks * block_rows, block_rows)] \
-        if nblocks > 1 else [fn(q, f, k)]
+    if mesh is not None:
+        from ..parallel.mesh import replicated_sharding
+
+        g = jax.device_put(np.asarray(features, np.float32),
+                           replicated_sharding(mesh))
+        res = [fn(qb, g, k)
+               for qb in _mesh_query_blocks(features, block_rows, mesh)]
+    else:
+        f = jnp.asarray(features, jnp.float32)
+        q, nblocks = _pad_query_blocks(f, block_rows)
+        # async dispatch of all blocks; host copies overlap device compute
+        res = [fn(q[s:s + block_rows], f, k)
+               for s in range(0, nblocks * block_rows, block_rows)] \
+            if nblocks > 1 else [fn(q, f, k)]
     vals = np.concatenate([np.asarray(v) for v, _ in res], 0)[:n]
     idxs = np.concatenate([np.asarray(i) for _, i in res], 0)[:n]
     return vals, idxs

@@ -75,7 +75,7 @@ def _min_sum_jaccard(V, query_num=None, native="auto"):
 
 def compute_jaccard_distance(features, k1=30, k2=6, print_flag=True,
                              search_option=None, use_float16=False,
-                             native="auto"):
+                             native="auto", mesh=None):
     """Jaccard distance over k-reciprocal encodings for pseudo-labeling
     (parity: CC/clustercontrast/utils/faiss_rerank.py:30-123; the faiss kNN
     backends are replaced by the TPU blockwise kNN).
@@ -103,7 +103,7 @@ def compute_jaccard_distance(features, k1=30, k2=6, print_flag=True,
     # k1 columns incl. self — the :k1+1 slices below clamp to the available
     # width, matching the reference where initial_rank comes from a k1-wide
     # faiss search (faiss_rerank.py:43 + :23-27)
-    _, initial_rank = knn_search(feats, k=min(k1, n), metric="l2")
+    _, initial_rank = knn_search(feats, k=min(k1, n), metric="l2", mesh=mesh)
 
     if native in ("auto", True):
         try:

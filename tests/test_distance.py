@@ -58,3 +58,31 @@ def test_l2_normalize(rng):
     x = rng.randn(7, 5).astype(np.float32)
     n = np.asarray(l2_normalize(x))
     np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+
+
+def test_knn_search_mesh_equivalence(rng, mesh):
+    """Mesh-sharded kNN (query rows sharded over the data axis, gallery
+    replicated — the faiss sharded-index replacement) must equal the
+    single-device blockwise path, including padded tail blocks."""
+    f = rng.randn(37, 16).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    for metric in ("l2", "ip"):
+        v0, i0 = knn_search(f, k=5, metric=metric, block_rows=13)
+        # blk = 2*8 = 16 → 3 sharded blocks with padding
+        v1, i1 = knn_search(f, k=5, metric=metric, block_rows=2, mesh=mesh)
+        # single sharded block (default block_rows)
+        v2, i2 = knn_search(f, k=5, metric=metric, mesh=mesh)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(i0, i2)
+        np.testing.assert_allclose(v0, v1, atol=1e-5)
+        np.testing.assert_allclose(v0, v2, atol=1e-5)
+
+
+def test_pairwise_distance_mesh_equivalence(rng, mesh):
+    x = rng.randn(37, 8).astype(np.float32)
+    y = rng.randn(21, 8).astype(np.float32)
+    base = pairwise_distance(x, y)
+    np.testing.assert_allclose(pairwise_distance(x, y, mesh=mesh), base,
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        pairwise_distance(x, y, block_rows=2, mesh=mesh), base, atol=1e-5)
