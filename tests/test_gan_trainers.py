@@ -152,7 +152,7 @@ def test_train_all_vjp_equals_double_forward():
         reid_augment,
     )
 
-    trainer, state, batch = _setup()
+    trainer, state, batch = _setup(model_gen="Pose")
     gan = trainer.gan
     seed, conf_mask = 7, jnp.ones(batch["img"].shape[0], jnp.float32)
 
