@@ -40,7 +40,9 @@ def cosine_similarity(x, y):
 def _mesh_query_blocks(query, block_rows, mesh):
     """Host query rows → list of device blocks row-sharded over the mesh,
     each the same shape (one compiled program; SURVEY.md §5.8: per-chip block
-    matmul against a replicated gallery)."""
+    matmul against a replicated gallery). Rows are balanced across blocks so
+    padding waste is < n_dev·nblocks rows (naive pad-to-block-multiple wastes
+    up to a whole block, ~2× work for n just over block_rows·n_dev)."""
     import numpy as np
 
     from ..parallel.mesh import batch_sharding
@@ -48,8 +50,9 @@ def _mesh_query_blocks(query, block_rows, mesh):
     qh = np.asarray(query, np.float32)
     n = qh.shape[0]
     n_dev = mesh.devices.size
-    blk = min(block_rows * n_dev, -(-n // n_dev) * n_dev)
-    pad = (-n) % blk
+    nblocks = max(1, -(-n // (block_rows * n_dev)))
+    blk = -(-n // (nblocks * n_dev)) * n_dev
+    pad = nblocks * blk - n
     if pad:
         qh = np.concatenate([qh, np.zeros((pad, qh.shape[1]), qh.dtype)], 0)
     sh = batch_sharding(mesh, 2)
@@ -82,12 +85,11 @@ def pairwise_distance(query, gallery=None, block_rows=4096, mesh=None):
 
     q = jnp.asarray(query, jnp.float32)
     g = q if gallery is None else jnp.asarray(gallery, jnp.float32)
-    q, nblocks = _pad_query_blocks(q, block_rows)
+    q, nblocks, blk = _pad_query_blocks(q, block_rows)
     # dispatch every block before the first host sync: XLA queues the matmuls
     # back-to-back and the device→host copies overlap compute
-    out = [squared_euclidean(q[s:s + block_rows], g)
-           for s in range(0, nblocks * block_rows, block_rows)] \
-        if nblocks > 1 else [squared_euclidean(q, g)]
+    out = [squared_euclidean(q[s:s + blk], g)
+           for s in range(0, nblocks * blk, blk)]
     return np.concatenate([np.asarray(o) for o in out], axis=0)[:m]
 
 
@@ -117,17 +119,20 @@ def knn_ip_block(q_block, gallery_n, k):
 
 
 def _pad_query_blocks(q, block_rows):
-    """Pad the query side to a block_rows multiple so every block compiles to
+    """Split the query side into equal-size blocks so every block compiles to
     ONE program shape (a ragged tail block would force a second XLA compile —
-    seconds of wasted cold-start per epoch). Single-block inputs are returned
-    unpadded. Returns (padded queries, number of blocks)."""
+    seconds of wasted cold-start per epoch). Rows are balanced across blocks
+    (block size ⌈m/nblocks⌉, padding waste < nblocks rows). Single-block
+    inputs are returned unpadded. Returns (padded queries, nblocks, blk)."""
     m = q.shape[0]
     if m <= block_rows:
-        return q, 1
-    pad = (-m) % block_rows
+        return q, 1, m
+    nblocks = -(-m // block_rows)
+    blk = -(-m // nblocks)
+    pad = nblocks * blk - m
     if pad:
         q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)], 0)
-    return q, q.shape[0] // block_rows
+    return q, nblocks, blk
 
 
 def knn_search(features, k, metric="l2", block_rows=4096, mesh=None):
@@ -154,11 +159,10 @@ def knn_search(features, k, metric="l2", block_rows=4096, mesh=None):
                for qb in _mesh_query_blocks(features, block_rows, mesh)]
     else:
         f = jnp.asarray(features, jnp.float32)
-        q, nblocks = _pad_query_blocks(f, block_rows)
+        q, nblocks, blk = _pad_query_blocks(f, block_rows)
         # async dispatch of all blocks; host copies overlap device compute
-        res = [fn(q[s:s + block_rows], f, k)
-               for s in range(0, nblocks * block_rows, block_rows)] \
-            if nblocks > 1 else [fn(q, f, k)]
+        res = [fn(q[s:s + blk], f, k)
+               for s in range(0, nblocks * blk, blk)]
     vals = np.concatenate([np.asarray(v) for v, _ in res], 0)[:n]
     idxs = np.concatenate([np.asarray(i) for _, i in res], 0)[:n]
     return vals, idxs
