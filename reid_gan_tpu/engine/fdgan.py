@@ -230,28 +230,37 @@ class CascadeEvaluator:
         features, _ = _extract(self.extractor, data_loader, print_freq=1 << 30)
         from .evaluators import pairwise_distance
 
-        distmat, qf, gf = pairwise_distance(features, query, gallery)
+        distmat, qf, gf = pairwise_distance(
+            features, query, gallery,
+            mesh=getattr(self.extractor, "mesh", None))
         print("First stage evaluation:")
         if second_stage:
             fd_evaluate_all(distmat, query=query, gallery=gallery,
                             dataset=dataset, top1=top1)
-            rank_indices = np.argsort(distmat, axis=1)
             m = len(query)
-            topk_idx = rank_indices[:, :rerank_topk]               # (m, k)
+            # argpartition instead of a full row sort: only the top-k set and
+            # the (k+1)-th boundary element are needed
+            part = np.argpartition(distmat, (rerank_topk - 1, rerank_topk),
+                                   axis=1)
+            topk_idx = part[:, :rerank_topk]                       # (m, k)
             probe = np.repeat(qf, rerank_topk, axis=0)             # (m·k, D)
             gal = gf[topk_idx.reshape(-1)]                         # (m·k, D)
             scores = np.asarray(self._embed(self.embed_vars,
                                             jnp.asarray(probe),
                                             jnp.asarray(gal)))
             scores = scores.reshape(m, rerank_topk)
-            # merge: replace top-k with verifier distance, push tail beyond gap
-            # (evaluators.py:219-226)
-            for i in range(m):
-                distmat[i, topk_idx[i]] = scores[i]
-                bar = distmat[i][rank_indices[i, :rerank_topk]].max()
-                gap = max(bar + 1.0 - distmat[i, rank_indices[i, rerank_topk]], 0)
-                if gap > 0:
-                    distmat[i][rank_indices[i, rerank_topk:]] += gap
+            # merge: replace top-k with verifier distance, push tail beyond
+            # gap (evaluators.py:219-226) — vectorized over queries: after
+            # the overwrite, bar == scores.max(row), the boundary value is
+            # the (k+1)-th original distance, and the tail is everything
+            # outside the top-k set
+            nxt = np.take_along_axis(distmat, part[:, rerank_topk:rerank_topk + 1],
+                                     axis=1)[:, 0]
+            np.put_along_axis(distmat, topk_idx, scores, axis=1)
+            gap = np.maximum(scores.max(axis=1) + 1.0 - nxt, 0.0)
+            tail = np.ones(distmat.shape, bool)
+            np.put_along_axis(tail, topk_idx, False, axis=1)
+            distmat += gap[:, None] * tail
             print("Second stage evaluation:")
         return fd_evaluate_all(distmat, query=query, gallery=gallery,
                                dataset=dataset, top1=top1)
