@@ -339,6 +339,18 @@ def cmc(distmat, query_ids=None, gallery_ids=None,
     vectorized 10-repeat group-argmax sampler (see
     ``_sgs_rank_metrics_numpy``)."""
     if single_gallery_shot:
+        if first_match_break:
+            # In the reference this combination is pathological: with one
+            # gallery shot per id, `ret[k-j] += 1; break` fires once PER
+            # REPEAT without the 1/repeat delta, so ret accumulates ~10 per
+            # query and the "CMC" exceeds 1 (ranking.py:60-66). No shipped
+            # protocol uses it (cuhk03/allshots = SGS without break,
+            # market1501 = break without SGS); reject instead of silently
+            # reproducing or ignoring it.
+            raise ValueError(
+                "single_gallery_shot=True with first_match_break=True is not "
+                "a valid CMC protocol (the reference implementation's "
+                "accumulator exceeds 1 in this combination)")
         distmat = to_numpy(distmat)
         m, n = distmat.shape
         query_ids, gallery_ids, query_cams, gallery_cams = _default_ids_cams(

@@ -10,7 +10,7 @@ import flax.linen as nn
 from ..ops.fastconv import Conv as FastConv
 import jax.numpy as jnp
 
-from .pooling import GeneralizedMeanPooling
+from .pooling import build_pooling_layer
 from .resnet import STAGES, ResNetBackbone, _l2n, conv_kaiming
 
 
@@ -43,11 +43,22 @@ class ResNetBip(nn.Module):
     dropout: float = 0.0
     pooling_type: str = "gem"
     cut_at_pooling: bool = False
+    # accepted for the common factory signature; >0 is rejected because the
+    # reference's embedding branch is broken as shipped (resnet_bip.py:59-67
+    # creates feat/feat_bn but the forward reads feat_bn1/feat_bn2 →
+    # AttributeError); every shipped recipe passes --features 0
+    num_features: int = 0
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, fuse: bool = True,
                  output_balance: float = 1.0):
+        if self.num_features > 0:
+            raise NotImplementedError(
+                "resnet_bip* with --features > 0: the reference's embedding "
+                "branch crashes as shipped (resnet_bip.py:59-67 builds "
+                "feat_bn but the forward reads feat_bn1/feat_bn2); "
+                "use --features 0")
         stem = ResNetBackbone(self.depth, stop_at_stage=2, dtype=self.dtype,
                               name="base")(x, train)
         x1 = ResNetStage(self.depth, 3, 2, "layer3", dtype=self.dtype,
@@ -60,8 +71,8 @@ class ResNetBip(nn.Module):
                          name="p2_l4")(x2, train).astype(jnp.float32)
         if self.cut_at_pooling:
             return {"feat": x1}
-        g1 = GeneralizedMeanPooling(name="gap1")(x1)
-        g2 = GeneralizedMeanPooling(name="gap2")(x2)
+        g1 = build_pooling_layer(self.pooling_type, name="gap1")(x1)
+        g2 = build_pooling_layer(self.pooling_type, name="gap2")(x2)
         bn_x1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, use_bias=False, name="feat_bn1")(g1)
         bn_x2 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -83,10 +94,14 @@ class ResNetBipD(nn.Module):
     norm: bool = True
     dropout: float = 0.0
     pooling_type: str = "gem"
+    num_features: int = 0   # same contract as ResNetBip.num_features
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, test_all: bool = False):
+        if self.num_features > 0:
+            raise NotImplementedError(
+                "resnet_bipd with --features > 0: see ResNetBip.num_features")
         stem = ResNetBackbone(self.depth, stop_at_stage=2, dtype=self.dtype,
                               name="base")(x, train)
         x1 = ResNetStage(self.depth, 3, 2, "layer3", dtype=self.dtype,
@@ -97,7 +112,7 @@ class ResNetBipD(nn.Module):
                          name="p2_l3")(stem, train)
         x2 = ResNetStage(self.depth, 4, 1, "layer4", dtype=self.dtype,
                          name="p2_l4")(x2, train).astype(jnp.float32)
-        g1 = GeneralizedMeanPooling(name="gap")(x1)
+        g1 = build_pooling_layer(self.pooling_type, name="gap")(x1)
         bn_x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, use_bias=False, name="feat_bn")(g1)
         gan_feat = x2 * jnp.reciprocal(
@@ -144,6 +159,10 @@ class ResNetMP(nn.Module):
     num_proj: int = 256
     fusion: str = "sum"
     need_predictor: bool = False
+    pooling_type: str = "gem"
+    # accepted for the common factory signature and IGNORED, exactly like the
+    # reference, which overwrites it with the CNN width (resnet_mp.py:54-62)
+    num_features: int = 0
     dtype: Any = None
 
     @nn.compact
@@ -157,10 +176,13 @@ class ResNetMP(nn.Module):
                           name="res_p")(stem, train).astype(jnp.float32)
         nfeat = x_g.shape[-1]
         div = x_p.shape[1] // 2
-        gem = GeneralizedMeanPooling
-        p_g = gem(name="gpool_g")(x_g)
-        p_p1 = gem(name="gpool_p1")(x_p[:, :div])
-        p_p2 = gem(name="gpool_p2")(x_p[:, div:])
+
+        def pool(name):
+            return build_pooling_layer(self.pooling_type, name=name)
+
+        p_g = pool("gpool_g")(x_g)
+        p_p1 = pool("gpool_p1")(x_p[:, :div])
+        p_p2 = pool("gpool_p2")(x_p[:, div:])
 
         def bn(name, v):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -196,13 +218,16 @@ class ResNetMP(nn.Module):
                 # keep the predictor params in the variable tree regardless of
                 # mode so checkpoints round-trip (reference registers it as a
                 # submodule unconditionally when need_predictor)
-                PredictorMLP(x_gc.shape[-1], name="predictor")(x_gc, False)
+                PredictorMLP(f_gc.shape[-1], name="predictor")(f_gc, False)
             return out
         out = {"feat": f_gc, "feat_g": f_g, "feat_p1": f_p1, "feat_p2": f_p2,
                "gan_feat": gan_feat}
         if self.need_predictor:
-            out["pred"] = PredictorMLP(x_gc.shape[-1],
-                                       name="predictor")(x_gc, train)
+            # the reference applies the predictor to the trainer-level
+            # (normalized) features: predictor(f_tar) / predictor(f_out1),
+            # trainers_b.py:426,908
+            out["pred"] = PredictorMLP(f_gc.shape[-1],
+                                       name="predictor")(f_gc, train)
         return out
 
 

@@ -24,8 +24,12 @@ def ensure_built(force=False):
         return _lib
     src = osp.join(_DIR, "src", "reidnative.cc")
     mk = osp.join(_DIR, "Makefile")
+    # a deployment may ship only the prebuilt .so (no Makefile/src tree):
+    # load it as-is instead of crashing on getmtime
+    have_build_tree = osp.exists(src) and osp.exists(mk)
     if force or not osp.exists(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH)
+            have_build_tree
+            and os.path.getmtime(_LIB_PATH)
             < max(os.path.getmtime(src), os.path.getmtime(mk))):
         subprocess.run(["make", "-C", _DIR], check=True,
                        capture_output=True, text=True)

@@ -8,9 +8,22 @@ neighbor lists — the same split the reference uses with faiss-gpu + numpy
 CC/clustercontrast/utils/rerank.py:31-97).
 """
 
+import warnings
+
 import numpy as np
 
 from .distance import knn_search
+
+
+def _warn_native_fallback(where, exc):
+    """native='auto' degrades to the per-row python path LOUDLY: at MSMT
+    scale that is minutes-to-hours per epoch instead of seconds, and a
+    silently-swallowed exception would mask real native-kernel regressions
+    (the parity tests pin native=True, production runs 'auto')."""
+    warnings.warn(
+        f"{where}: native C++ pipeline unavailable "
+        f"({type(exc).__name__}: {exc}); falling back to the slow python "
+        "path", RuntimeWarning, stacklevel=3)
 
 
 def k_reciprocal_neigh(initial_rank, i, k):
@@ -118,9 +131,10 @@ def compute_jaccard_distance(features, k1=30, k2=6, print_flag=True,
                 print("Jaccard distance computing time cost:"
                       f" {time.time() - end}")
             return jaccard
-        except Exception:
+        except Exception as e:
             if native is True:
                 raise
+            _warn_native_fallback("compute_jaccard_distance", e)
 
     nn_k1 = [k_reciprocal_neigh(initial_rank, i, k1) for i in range(n)]
     half = int(np.around(k1 / 2))
@@ -195,9 +209,10 @@ def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3,
             final_dist = (jaccard * (1 - lambda_value)
                           + original_dist[:query_num] * lambda_value)
             return final_dist[:, query_num:]
-        except Exception:
+        except Exception as e:
             if native is True:
                 raise
+            _warn_native_fallback("re_ranking", e)
 
     nn_k1 = [k_reciprocal_neigh(initial_rank, i, k1) for i in range(all_num)]
     half = int(np.around(k1 / 2.0))

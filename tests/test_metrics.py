@@ -241,3 +241,16 @@ def test_sgs_loop_not_reachable_from_cmc():
                            side_effect=AssertionError("loop reached")):
         metrics.cmc(dist, qids, gids, np.zeros(2, int), np.ones(3, int),
                     topk=3, single_gallery_shot=True, seed=0)
+
+
+def test_sgs_with_first_match_break_rejected(rng):
+    """The reference's SGS+first_match_break combination is pathological
+    (accumulator exceeds 1, ranking.py:60-66) — must raise, not silently
+    drop the flag."""
+    import pytest
+
+    from reid_gan_tpu.engine.metrics import cmc
+
+    d = rng.rand(4, 6).astype(np.float32)
+    with pytest.raises(ValueError, match="single_gallery_shot"):
+        cmc(d, single_gallery_shot=True, first_match_break=True)

@@ -142,3 +142,15 @@ def test_gradient_memory(rng):
     mask = jnp.asarray([True, False, True, False])
     new = update_gradient_clusters(state, grads, mask, cluster_lr=0.1)
     assert not np.allclose(np.asarray(new.clusters), centers)
+
+
+def test_factory_accepts_cli_kwargs():
+    """Every registered arch must accept the uniform kwargs the CLIs pass
+    (the reference's examples call models.create(arch, num_features=...,
+    norm=..., dropout=..., pooling_type=...) for every arch) — resnet_mp50
+    used to crash on num_features at the CLI."""
+    from reid_gan_tpu.models import create, names
+
+    for name in names():
+        create(name, num_features=0, norm=True, dropout=0.0,
+               pooling_type="gem", dtype=None)
