@@ -63,8 +63,11 @@ class FeatureExtractor:
         else:
             self._fwd = jax.jit(fwd)
 
-    def __call__(self, img_u8):
-        """img_u8: (B, H, W, 3) host uint8 (any B ≤ batch_size; padded)."""
+    def dispatch(self, img_u8):
+        """Async forward: enqueue the jitted program and return the DEVICE
+        arrays plus the valid row count, without a host sync — lets an epoch
+        loop pipeline host staging of batch i+1 behind device compute of
+        batch i (convert with np.asarray once at the end)."""
         n = img_u8.shape[0]
         if n < self.batch_size:
             pad = np.zeros((self.batch_size - n,) + img_u8.shape[1:], np.uint8)
@@ -72,39 +75,52 @@ class FeatureExtractor:
         if self.mesh is not None:
             img_u8 = shard_batch(self.mesh, img_u8)
         out = self._fwd(self.variables, img_u8)
+        if not self.extra:
+            out = (out, None)
+        return out, n
+
+    def __call__(self, img_u8):
+        """img_u8: (B, H, W, 3) host uint8 (any B ≤ batch_size; padded)."""
+        (f, g), n = self.dispatch(img_u8)
         if self.extra:
-            f, g = out
             return np.asarray(f)[:n], np.asarray(g)[:n]
-        return np.asarray(out)[:n]
+        return np.asarray(f)[:n]
 
 
 def extract_features(extractor, data_loader, print_freq=50):
     """Run the extractor over a loader; returns OrderedDicts fname → feature
-    (+ gan feature) and fname → pid (parity: evaluators.py:30-68)."""
+    (+ gan feature) and fname → pid (parity: evaluators.py:30-68).
+
+    Batches are DISPATCHED without a per-batch host sync (the device queue
+    runs ahead while the loader stages the next batch); the device→host
+    copies happen in one drain pass at the end, so extraction wall-clock is
+    max(loader, device) instead of their sum."""
     batch_time = AverageMeter()
     data_time = AverageMeter()
     features = OrderedDict()
     gan_features = OrderedDict()
     labels = OrderedDict()
+    pending = []
     end = time.time()
     for i, batch in enumerate(data_loader):
         data_time.update(time.time() - end)
-        out = extractor(batch["img"])
-        if extractor.extra:
-            feats, gans = out
-        else:
-            feats, gans = out, None
+        out, n = extractor.dispatch(batch["img"])
+        pending.append((out, n, batch["fname"]))
         for j, fname in enumerate(batch["fname"]):
-            features[fname] = feats[j]
             labels[fname] = int(batch["pid"][j])
-            if gans is not None:
-                gan_features[fname] = gans[j]
         batch_time.update(time.time() - end)
         end = time.time()
         if (i + 1) % print_freq == 0:
             print(f"Extract Features: [{i + 1}]\t"
                   f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
                   f"Data {data_time.val:.3f} ({data_time.avg:.3f})")
+    for (f, g), n, fnames in pending:
+        feats = np.asarray(f)[:n]
+        gans = np.asarray(g)[:n] if extractor.extra else None
+        for j, fname in enumerate(fnames):
+            features[fname] = feats[j]
+            if gans is not None:
+                gan_features[fname] = gans[j]
     if extractor.extra:
         return features, gan_features, labels
     return features, labels
