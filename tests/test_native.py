@@ -144,3 +144,23 @@ def test_native_reranking_matches_python(rng):
         fast = re_ranking(*args, k1=k1, k2=k2, native=True)
         slow = re_ranking(*args, k1=k1, k2=k2, native=False)
         np.testing.assert_allclose(fast, slow, atol=2e-5)
+
+
+def test_native_fallback_warns_and_matches(rng, monkeypatch):
+    """native='auto' must degrade to the python path LOUDLY (RuntimeWarning
+    carrying the swallowed exception) and still return correct results."""
+    import reid_gan_tpu.native as native_mod
+    from reid_gan_tpu.ops.jaccard import compute_jaccard_distance
+
+    feats = _clustered_feats(rng, n=80)
+    want = compute_jaccard_distance(feats, k1=10, k2=3, print_flag=False,
+                                    native=False)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated native breakage")
+
+    monkeypatch.setattr(native_mod, "kreciprocal_v_native", boom)
+    with pytest.warns(RuntimeWarning, match="simulated native breakage"):
+        got = compute_jaccard_distance(feats, k1=10, k2=3, print_flag=False,
+                                       native="auto")
+    np.testing.assert_allclose(got, want, atol=2e-5)
