@@ -43,8 +43,12 @@ def denormalize(x, mean=IMAGENET_MEAN, std=IMAGENET_STD):
 
 def resize_batch(x, height, width, method="bilinear"):
     """Resize NHWC batch to (height, width) — RectScale
-    (FD/reid/utils/data/transforms.py:9-21)."""
-    n, _, _, c = x.shape
+    (FD/reid/utils/data/transforms.py:9-21). No-op at the target size (eval
+    batches are staged at the target, so this skips a full image-sized
+    linear pass on the HBM-bound eval path)."""
+    n, h, w, c = x.shape
+    if (h, w) == (height, width):
+        return x
     return jax.image.resize(x, (n, height, width, c), method=method)
 
 
