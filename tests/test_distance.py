@@ -86,3 +86,25 @@ def test_pairwise_distance_mesh_equivalence(rng, mesh):
                                atol=1e-5)
     np.testing.assert_allclose(
         pairwise_distance(x, y, block_rows=2, mesh=mesh), base, atol=1e-5)
+
+
+def test_block_balancing_invariants(mesh):
+    """Balanced blocking: one program shape, padding waste bounded by
+    nblocks (× n_dev on the mesh) rows — never a whole block."""
+    import jax.numpy as jnp
+
+    from reid_gan_tpu.ops.distance import _mesh_query_blocks, _pad_query_blocks
+
+    for m in (1, 5, 4095, 4096, 4097, 12936, 32621):
+        q = jnp.zeros((m, 4))
+        qp, nblocks, blk = _pad_query_blocks(q, 4096)
+        assert nblocks * blk == qp.shape[0] >= m
+        assert qp.shape[0] - m < max(nblocks, 1)
+        if m > 4096:
+            assert blk <= 4096
+    for m in (1, 7, 9, 63, 4096 * 8 + 1):
+        blocks = _mesh_query_blocks(np.zeros((m, 4), np.float32), 4096, mesh)
+        total = sum(b.shape[0] for b in blocks)
+        assert total >= m and total - m < len(blocks) * 8
+        assert all(b.shape[0] % 8 == 0 and b.shape[0] == blocks[0].shape[0]
+                   for b in blocks)
