@@ -87,40 +87,49 @@ class FeatureExtractor:
         return np.asarray(f)[:n]
 
 
-def extract_features(extractor, data_loader, print_freq=50):
+def extract_features(extractor, data_loader, print_freq=50, max_pending=8):
     """Run the extractor over a loader; returns OrderedDicts fname → feature
     (+ gan feature) and fname → pid (parity: evaluators.py:30-68).
 
     Batches are DISPATCHED without a per-batch host sync (the device queue
-    runs ahead while the loader stages the next batch); the device→host
-    copies happen in one drain pass at the end, so extraction wall-clock is
-    max(loader, device) instead of their sum."""
+    runs ahead while the loader stages the next batch), so extraction
+    wall-clock is max(loader, device) instead of their sum. At most
+    ``max_pending`` batches of device output stay live: once the window is
+    full, each dispatch drains the oldest batch to host, keeping peak
+    accelerator memory O(max_pending·batch) rather than O(dataset)."""
     batch_time = AverageMeter()
     data_time = AverageMeter()
     features = OrderedDict()
     gan_features = OrderedDict()
     labels = OrderedDict()
     pending = []
-    end = time.time()
-    for i, batch in enumerate(data_loader):
-        data_time.update(time.time() - end)
-        out, n = extractor.dispatch(batch["img"])
-        pending.append((out, n, batch["fname"]))
-        for j, fname in enumerate(batch["fname"]):
-            labels[fname] = int(batch["pid"][j])
-        batch_time.update(time.time() - end)
-        end = time.time()
-        if (i + 1) % print_freq == 0:
-            print(f"Extract Features: [{i + 1}]\t"
-                  f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
-                  f"Data {data_time.val:.3f} ({data_time.avg:.3f})")
-    for (f, g), n, fnames in pending:
+
+    def drain_one():
+        (f, g), n, fnames = pending.pop(0)
         feats = np.asarray(f)[:n]
         gans = np.asarray(g)[:n] if extractor.extra else None
         for j, fname in enumerate(fnames):
             features[fname] = feats[j]
             if gans is not None:
                 gan_features[fname] = gans[j]
+
+    end = time.time()
+    for i, batch in enumerate(data_loader):
+        data_time.update(time.time() - end)
+        out, n = extractor.dispatch(batch["img"])
+        pending.append((out, n, batch["fname"]))
+        if len(pending) > max_pending:
+            drain_one()
+        for fname, pid in zip(batch["fname"], batch["pid"]):
+            labels[fname] = int(pid)
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if (i + 1) % print_freq == 0:
+            print(f"Extract Features: [{i + 1}]\t"
+                  f"Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                  f"Data {data_time.val:.3f} ({data_time.avg:.3f})")
+    while pending:
+        drain_one()
     if extractor.extra:
         return features, gan_features, labels
     return features, labels

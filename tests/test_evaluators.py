@@ -44,6 +44,21 @@ def test_extract_features(setup):
     np.testing.assert_allclose(np.linalg.norm(f0), 1.0, atol=1e-3)
 
 
+def test_extract_features_bounded_drain(setup):
+    """max_pending=1 (drain every batch) must equal the default window —
+    the rolling drain changes memory residency, never results."""
+    ds, model, variables = setup
+    ex = FeatureExtractor(model, variables, height=64, width=32, batch_size=8,
+                          dtype=jnp.float32)
+    f_win, l_win = extract_features(ex, _loader(ds, ds.query), print_freq=1000)
+    f_one, l_one = extract_features(ex, _loader(ds, ds.query), print_freq=1000,
+                                    max_pending=1)
+    assert l_win == l_one
+    assert list(f_win) == list(f_one)
+    for k in f_win:
+        np.testing.assert_array_equal(f_win[k], f_one[k])
+
+
 def test_evaluator_end_to_end(setup):
     ds, model, variables = setup
     ex = FeatureExtractor(model, variables, height=64, width=32, batch_size=8,
