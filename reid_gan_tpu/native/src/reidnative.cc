@@ -375,18 +375,32 @@ void build_graph(int32_t n, int64_t n_edges, const int32_t* src,
     g->in_w[q] = (float)wn;
   }
   std::vector<double> pr(n, 1.0 / n), nxt(n);
+  unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
   for (int iter = 0; iter < 200; ++iter) {
     double dang = 0;
     for (int32_t a = 0; a < n; ++a)
       if (out_sum[a] <= 0) dang += pr[a];
     double base = tau / n + (1 - tau) * dang / n;
-    std::fill(nxt.begin(), nxt.end(), base);
-    for (int32_t b = 0; b < n; ++b) {
-      double acc = 0;
-      for (int64_t q = g->in_ptr[b]; q < g->in_ptr[b + 1]; ++q)
-        acc += pr[g->in_idx[q]] * g->in_w[q];
-      nxt[b] += (1 - tau) * acc;
-    }
+    // Each destination node's accumulation is independent, so threading over
+    // b keeps per-node summation order (and therefore results) bit-stable.
+    std::vector<std::thread> ts;
+    std::atomic<int32_t> next_blk(0);
+    constexpr int32_t kBlk = 2048;
+    auto work = [&]() {
+      for (;;) {
+        int32_t s = next_blk.fetch_add(kBlk);
+        if (s >= n) return;
+        int32_t e = std::min(s + kBlk, n);
+        for (int32_t b = s; b < e; ++b) {
+          double acc = 0;
+          for (int64_t q = g->in_ptr[b]; q < g->in_ptr[b + 1]; ++q)
+            acc += pr[g->in_idx[q]] * g->in_w[q];
+          nxt[b] = base + (1 - tau) * acc;
+        }
+      }
+    };
+    for (unsigned t = 0; t < nthreads; ++t) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
     double diff = 0;
     for (int32_t a = 0; a < n; ++a) diff += std::fabs(nxt[a] - pr[a]);
     pr.swap(nxt);
@@ -431,6 +445,12 @@ int32_t reid_infomap(int32_t n, int64_t n_edges, const int32_t* src,
   std::vector<int32_t> order(n);
   std::iota(order.begin(), order.end(), 0);
   std::vector<int32_t> cands;
+  // Per-module flow accumulators for the node being moved: filled in ONE
+  // pass over a's edge lists (edge order, so sums are bit-identical to the
+  // former per-candidate rescan), reset via the touched list. Turns the
+  // local-move cost from O(deg * #cands) into O(deg + #cands) per node.
+  std::vector<double> flow_out(n, 0.0), flow_in(n, 0.0);
+  std::vector<char> seen(n, 0);
 
   bool improved = true;
   int sweeps = 0;
@@ -440,26 +460,27 @@ int32_t reid_infomap(int32_t n, int64_t n_edges, const int32_t* src,
     for (int32_t a : order) {
       int32_t m_old = module[a];
       cands.clear();
-      for (int64_t o = g.out_ptr[a]; o < g.out_ptr[a + 1]; ++o)
-        cands.push_back(module[g.out_idx[o]]);
-      for (int64_t q = g.in_ptr[a]; q < g.in_ptr[a + 1]; ++q)
-        cands.push_back(module[g.in_idx[q]]);
-      std::sort(cands.begin(), cands.end());
-      cands.erase(std::unique(cands.begin(), cands.end()), cands.end());
-      if (cands.empty()) continue;
-
       double total_out = 0;  // non-self outgoing flow of a
-      for (int64_t o = g.out_ptr[a]; o < g.out_ptr[a + 1]; ++o)
-        if (g.out_idx[o] != a) total_out += g.p[a] * g.out_w[o];
-      double out_to_old = 0, in_from_old = 0;
       for (int64_t o = g.out_ptr[a]; o < g.out_ptr[a + 1]; ++o) {
         int32_t b = g.out_idx[o];
-        if (b != a && module[b] == m_old) out_to_old += g.p[a] * g.out_w[o];
+        if (b == a) continue;
+        int32_t m = module[b];
+        if (!seen[m]) { seen[m] = 1; cands.push_back(m); }
+        double f = g.p[a] * g.out_w[o];
+        flow_out[m] += f;
+        total_out += f;
       }
       for (int64_t q = g.in_ptr[a]; q < g.in_ptr[a + 1]; ++q) {
         int32_t s = g.in_idx[q];
-        if (s != a && module[s] == m_old) in_from_old += g.p[s] * g.in_w[q];
+        if (s == a) continue;
+        int32_t m = module[s];
+        if (!seen[m]) { seen[m] = 1; cands.push_back(m); }
+        flow_in[m] += g.p[s] * g.in_w[q];
       }
+      if (cands.empty()) continue;
+      std::sort(cands.begin(), cands.end());  // keep the old tie-break order
+
+      double out_to_old = flow_out[m_old], in_from_old = flow_in[m_old];
 
       // old module after removing a: internal links touching a become exit
       double le_old_after = mod_linkexit[m_old]
@@ -481,15 +502,7 @@ int32_t reid_infomap(int32_t n, int64_t n_edges, const int32_t* src,
 
       for (int32_t m_new : cands) {
         if (m_new == m_old) continue;
-        double out_to_new = 0, in_from_new = 0;
-        for (int64_t o = g.out_ptr[a]; o < g.out_ptr[a + 1]; ++o) {
-          int32_t b = g.out_idx[o];
-          if (b != a && module[b] == m_new) out_to_new += g.p[a] * g.out_w[o];
-        }
-        for (int64_t q = g.in_ptr[a]; q < g.in_ptr[a + 1]; ++q) {
-          int32_t s = g.in_idx[q];
-          if (s != a && module[s] == m_new) in_from_new += g.p[s] * g.in_w[q];
-        }
+        double out_to_new = flow_out[m_new], in_from_new = flow_in[m_new];
         double le_new_after = mod_linkexit[m_new]
             + (1 - tau) * (total_out - out_to_new)
             - (1 - tau) * in_from_new;
@@ -515,6 +528,8 @@ int32_t reid_infomap(int32_t n, int64_t n_edges, const int32_t* src,
           best_q_sum = Q_after;
         }
       }
+
+      for (int32_t m : cands) { flow_out[m] = 0.0; flow_in[m] = 0.0; seen[m] = 0; }
 
       if (best_m != m_old) {
         mod_linkexit[m_old] = best_le_old;
