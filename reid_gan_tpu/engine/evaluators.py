@@ -118,7 +118,7 @@ def extract_features(extractor, data_loader, print_freq=50, max_pending=8):
         data_time.update(time.time() - end)
         out, n = extractor.dispatch(batch["img"])
         pending.append((out, n, batch["fname"]))
-        if len(pending) > max_pending:
+        if len(pending) >= max_pending:
             drain_one()
         for fname, pid in zip(batch["fname"], batch["pid"]):
             labels[fname] = int(pid)

@@ -60,12 +60,32 @@ def _mesh_query_blocks(query, block_rows, mesh):
             for s in range(0, qh.shape[0], blk)]
 
 
-def pairwise_distance(query, gallery=None, block_rows=4096, mesh=None):
+def _rolling_drain(block_iter, max_pending):
+    """Dispatch device blocks ahead of the host sync, but keep at most
+    ``max_pending`` result blocks live on device: once the window is full,
+    each new dispatch drains the oldest block to host. Overlaps device
+    compute with device→host copies at O(window) — not O(#blocks) — device
+    memory (a (block_rows, n) fp32 distance block is GBs at MSMT gallery
+    scale)."""
+    import numpy as np
+
+    out, pending = [], []
+    for b in block_iter:
+        pending.append(b)
+        if len(pending) >= max_pending:
+            out.append(np.asarray(pending.pop(0)))
+    out.extend(np.asarray(b) for b in pending)
+    return out
+
+
+def pairwise_distance(query, gallery=None, block_rows=4096, mesh=None,
+                      max_pending=2):
     """Full distance matrix, streamed in row blocks (device memory bound by
-    block_rows×n). With ``gallery=None`` computes the self-distance matrix
-    (parity: CC/clustercontrast/evaluators.py:71-88). With ``mesh``, each
-    block's rows are sharded over the data axis — every chip computes its
-    row-slab against the replicated gallery (block_rows rows per chip).
+    max_pending·block_rows×n — blocks past the in-flight window drain to
+    host as later blocks dispatch). With ``gallery=None`` computes the
+    self-distance matrix (parity: CC/clustercontrast/evaluators.py:71-88).
+    With ``mesh``, each block's rows are sharded over the data axis — every
+    chip computes its row-slab against the replicated gallery.
 
     Inputs/outputs are host numpy or jax arrays; result is a host array for
     consumption by the (host-side) CMC/mAP and clustering code.
@@ -79,18 +99,20 @@ def pairwise_distance(query, gallery=None, block_rows=4096, mesh=None):
         g = jax.device_put(
             np.asarray(query if gallery is None else gallery, np.float32),
             replicated_sharding(mesh))
-        out = [squared_euclidean(qb, g)
-               for qb in _mesh_query_blocks(query, block_rows, mesh)]
-        return np.concatenate([np.asarray(o) for o in out], axis=0)[:m]
+        out = _rolling_drain(
+            (squared_euclidean(qb, g)
+             for qb in _mesh_query_blocks(query, block_rows, mesh)),
+            max_pending)
+        return np.concatenate(out, axis=0)[:m]
 
     q = jnp.asarray(query, jnp.float32)
     g = q if gallery is None else jnp.asarray(gallery, jnp.float32)
     q, nblocks, blk = _pad_query_blocks(q, block_rows)
-    # dispatch every block before the first host sync: XLA queues the matmuls
-    # back-to-back and the device→host copies overlap compute
-    out = [squared_euclidean(q[s:s + blk], g)
-           for s in range(0, nblocks * blk, blk)]
-    return np.concatenate([np.asarray(o) for o in out], axis=0)[:m]
+    out = _rolling_drain(
+        (squared_euclidean(q[s:s + blk], g)
+         for s in range(0, nblocks * blk, blk)),
+        max_pending)
+    return np.concatenate(out, axis=0)[:m]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -124,6 +124,8 @@ def compute_jaccard_distance(features, k1=30, k2=6, print_flag=True,
                                   kreciprocal_v_native)
 
             idx, w, cnt = kreciprocal_v_native(initial_rank, feats, k1, k2)
+            # reid_jaccard_minsum clips negatives at write time — this path
+            # honors the "zeros clipped" contract without an extra O(N²) pass
             jaccard = jaccard_minsum_rows_native(idx, w, cnt)
             if use_float16:
                 jaccard = jaccard.astype(np.float16)

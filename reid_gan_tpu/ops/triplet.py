@@ -30,27 +30,35 @@ def batch_hard_mine(features, labels):
     (Hermans et al., "In Defense of the Triplet Loss", batch-hard):
     d_ap[i] = max_j { d(i,j) : labels j == i, j ≠ i },
     d_an[i] = min_j { d(i,j) : labels j ≠ i }.
-    Returns (d_ap, d_an), each (N,)."""
+    Returns (d_ap, d_an, valid): distances are 0 where the batch holds no
+    positive (resp. negative) for the anchor, and ``valid`` flags anchors
+    that have BOTH — only those can form a triplet."""
     d = pairwise_l2(features, features)
     same = labels[:, None] == labels[None, :]
     eye = jnp.eye(labels.shape[0], dtype=bool)
     pos = same & ~eye
     d_ap = jnp.max(jnp.where(pos, d, -jnp.inf), axis=1)
     d_an = jnp.min(jnp.where(~same, d, jnp.inf), axis=1)
-    # anchors with no positive (or no negative) in the batch contribute 0
+    valid = jnp.isfinite(d_ap) & jnp.isfinite(d_an)
     d_ap = jnp.where(jnp.isfinite(d_ap), d_ap, 0.0)
     d_an = jnp.where(jnp.isfinite(d_an), d_an, 0.0)
-    return d_ap, d_an
+    return d_ap, d_an, valid
 
 
 def batch_hard_triplet_loss(features, labels, margin=1.0, soft=False):
-    """Mean batch-hard triplet loss over the batch.
+    """Mean batch-hard triplet loss over the anchors that have both a
+    positive and a negative in the batch (singleton-identity or
+    single-identity anchors contribute nothing — a hinge on their zeroed
+    distances would otherwise inject a spurious ``margin`` gradient).
 
     ``margin`` defaults to the reference's commented
     ``TripletMarginLoss(margin=1.0, p=2)``. ``soft=True`` uses the
     margin-free softplus formulation ln(1+exp(d_ap−d_an)).
     """
-    d_ap, d_an = batch_hard_mine(features, labels)
+    d_ap, d_an, valid = batch_hard_mine(features, labels)
     if soft:
-        return jnp.mean(jax.nn.softplus(d_ap - d_an))
-    return jnp.mean(jnp.maximum(d_ap - d_an + margin, 0.0))
+        per_anchor = jax.nn.softplus(d_ap - d_an)
+    else:
+        per_anchor = jnp.maximum(d_ap - d_an + margin, 0.0)
+    per_anchor = jnp.where(valid, per_anchor, 0.0)
+    return jnp.sum(per_anchor) / jnp.maximum(jnp.sum(valid), 1)

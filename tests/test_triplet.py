@@ -21,7 +21,8 @@ def _batch(rng, n=24, d=16, k=6):
 
 def test_mining_matches_numpy_loops(rng):
     f, labels = _batch(rng)
-    d_ap, d_an = map(np.asarray, batch_hard_mine(f, labels))
+    d_ap, d_an, valid = map(np.asarray, batch_hard_mine(f, labels))
+    assert valid.all()
     d = np.sqrt(np.maximum(
         ((f[:, None] - f[None]) ** 2).sum(-1), 0))
     for i in range(len(f)):
@@ -29,6 +30,24 @@ def test_mining_matches_numpy_loops(rng):
         neg = [j for j in range(len(f)) if labels[j] != labels[i]]
         np.testing.assert_allclose(d_ap[i], d[i, pos].max(), rtol=1e-5)
         np.testing.assert_allclose(d_an[i], d[i, neg].min(), rtol=1e-5)
+
+
+def test_anchor_without_positive_or_negative_contributes_zero(rng):
+    """Singleton-identity anchors (no positive) and single-identity batches
+    (no negative) must not inject a spurious margin hinge."""
+    f = rng.randn(3, 8).astype(np.float32)
+    # anchor 0 is a singleton id: only anchors 1,2 can form triplets
+    labels = np.array([0, 1, 1], np.int32)
+    _, _, valid = map(np.asarray, batch_hard_mine(f, labels))
+    assert valid.tolist() == [False, True, True]
+    d = np.sqrt(((f[:, None] - f[None]) ** 2).sum(-1))
+    expect = np.mean([max(d[i, 3 - i] - d[i, 0] + 1.0, 0.0) for i in (1, 2)])
+    np.testing.assert_allclose(
+        float(batch_hard_triplet_loss(f, labels, margin=1.0)), expect,
+        rtol=1e-5)
+    # all-same-label batch: no negatives anywhere → loss exactly 0
+    assert float(batch_hard_triplet_loss(
+        f, np.zeros(3, np.int32), margin=1.0)) == 0.0
 
 
 def test_loss_matches_torch_oracle(rng):
