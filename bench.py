@@ -204,6 +204,7 @@ def bench_loader(batch=64, num_workers=4, iters=40):
         for _ in range(iters):
             loader.next()
         dt = time.perf_counter() - t0
+        loader.close()   # join workers BEFORE the tempdir (and its JPEGs) go
     return batch * iters / dt
 
 

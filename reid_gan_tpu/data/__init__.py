@@ -24,3 +24,11 @@ class IterLoader:
         except (StopIteration, TypeError):
             self.iter = iter(self.loader)
             return next(self.iter)
+
+    def close(self):
+        """Shut down the underlying loader's producer thread (generator
+        ``close()`` runs its finally: stop event + pool shutdown + join), so
+        no worker touches dataset files after the caller moves on."""
+        if self.iter is not None and hasattr(self.iter, "close"):
+            self.iter.close()
+        self.iter = None

@@ -196,12 +196,23 @@ def _collate(items):
     return out
 
 
+class _WorkerFailure:
+    """Queue sentinel carrying a producer-side exception to the consumer."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class DataLoader:
     """Threaded prefetching batch loader.
 
     Decodes items with a thread pool (PIL releases the GIL during decode) and
     keeps ``prefetch`` collated batches ready — the host-side analogue of the
-    reference's num_workers=4 worker processes.
+    reference's num_workers=4 worker processes. Decode errors are re-raised in
+    the consumer (not swallowed — a missing file must fail the epoch, not
+    silently truncate it); abandoning the iterator mid-epoch stops the
+    producer thread and joins it so no worker touches files after the
+    consumer is gone.
     """
 
     def __init__(self, preprocessor, sampler=None, batch_size=64, num_workers=4,
@@ -237,30 +248,36 @@ class DataLoader:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         stop = threading.Event()
 
+        def _put(item):
+            # blocking put that gives up once the consumer abandons the epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for b in batches:
                     if stop.is_set():
                         return
                     items = list(pool.map(self.pre.__getitem__, b))
-                    q.put(_collate(items))
-            except RuntimeError:
-                pass  # pool shut down by an abandoned consumer
-            finally:
-                q.put(None)
+                    if not _put(_collate(items)):
+                        return
+            except BaseException as exc:  # re-raised in the consumer
+                _put(_WorkerFailure(exc))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         try:
-            while True:
+            for _ in range(len(batches)):
                 batch = q.get()
-                if batch is None:
-                    break
+                if isinstance(batch, _WorkerFailure):
+                    raise batch.exc
                 yield batch
         finally:
             stop.set()
-            try:  # unblock the producer if it is waiting on a full queue
-                q.get_nowait()
-            except queue.Empty:
-                pass
-            pool.shutdown(wait=False)
+            pool.shutdown(wait=False, cancel_futures=True)
+            t.join(timeout=10)

@@ -121,3 +121,44 @@ def test_iterloader_wraps(dataset):
     for _ in range(12):  # > one epoch: must wrap silently
         batch = it.next()
         assert batch["img"].shape[0] == 16
+
+
+def test_loader_propagates_worker_errors(dataset):
+    """A decode failure must fail the epoch loudly, not truncate it
+    (a missing file in the reference's DataLoader raises in the worker and
+    kills the run — silent truncation would corrupt pseudo-label training)."""
+
+    class Boom(Preprocessor):
+        def __getitem__(self, index):
+            if index == 5:
+                raise FileNotFoundError("synthetic decode failure")
+            return super().__getitem__(index)
+
+    pre = Boom(dataset.train, mode="reid", height=32, width=16)
+    loader = DataLoader(pre, batch_size=4, num_workers=2, shuffle=False)
+    with pytest.raises(FileNotFoundError, match="synthetic decode failure"):
+        for _ in loader:
+            pass
+
+
+def test_iterloader_close_joins_workers(dataset):
+    """close() mid-epoch stops the producer; no worker touches the dataset
+    afterwards (bench_loader deletes its tempdir right after closing)."""
+    calls = []
+
+    class Recording(Preprocessor):
+        def __getitem__(self, index):
+            calls.append(index)
+            return super().__getitem__(index)
+
+    pre = Recording(dataset.train, mode="reid", height=32, width=16)
+    loader = DataLoader(pre, batch_size=4, num_workers=2, prefetch=1)
+    it = IterLoader(loader, length=100)
+    it.new_epoch()
+    it.next()
+    it.close()
+    n_after_close = len(calls)
+    import time as _t
+    _t.sleep(0.3)
+    assert len(calls) == n_after_close  # producer fully stopped
+    assert it.iter is None
