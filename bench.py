@@ -89,13 +89,15 @@ def bench_usl_train(batch=256, height=256, width=128, k=1024, iters=20):
     centers = rng.randn(k, 2048).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     trainer = ClusterContrastTrainer(model, height=height, width=width,
-                                     use_hard=True, iters_per_epoch=400)
+                                     use_hard=True, iters_per_epoch=400,
+                                     num_instances=16)
     state = trainer.init_state(variables, init_memory(centers))
 
     img = jax.device_put(rng.randint(0, 256, (batch, height, width, 3),
                                      dtype=np.uint8))
+    # P×K batch with distinct pids, as RandomMultipleGallerySampler yields
     targets = jax.device_put(
-        np.repeat(rng.randint(0, k, batch // 16), 16).astype(np.int32))
+        np.repeat(rng.choice(k, batch // 16, replace=False), 16).astype(np.int32))
     seed = np.int32(0)
 
     state, loss = trainer._step(state, img, targets, seed)   # compile
@@ -114,11 +116,11 @@ def bench_usl_train(batch=256, height=256, width=128, k=1024, iters=20):
     return batch * iters / dt
 
 
-def bench_joint_gan_train(batch=64, height=256, width=128, gh=128, gw=64,
-                          k=256, iters=10):
-    """Flagship ``train_all`` joint GAN+reID step at production shapes
-    (cluster_contrast_gan_train_usl_infomap recipe: batch 64, Pose
-    generator at 128×64)."""
+def bench_joint_gan_train(batch=256, height=256, width=128, gh=128, gw=64,
+                          k=768, iters=8):
+    """Flagship ``train_all`` joint GAN+reID step at production shapes — the
+    reference's LIVE joint command (CC/run_code.sh:32-35): -b 256,
+    --num-instances 16, Pose generator at 128×64, no VGG loss."""
     from reid_gan_tpu.config import GANConfig
     from reid_gan_tpu.engine.gan_trainers import ClusterContrastWithGANTrainer
     from reid_gan_tpu.models import create as create_model
@@ -136,12 +138,12 @@ def bench_joint_gan_train(batch=64, height=256, width=128, gh=128, gw=64,
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     trainer = ClusterContrastWithGANTrainer(
         encoder, gan, height=height, width=width, iters_per_epoch=400,
-        num_instances=4)
+        num_instances=16)
     state = trainer.init_state(enc_vars, gan_state, init_memory(centers))
 
     batch_np = {"img": rng.randint(0, 256, (batch, height, width, 3),
                                    dtype=np.uint8),
-                "pid": np.repeat(rng.randint(0, k, batch // 4), 4),
+                "pid": np.repeat(rng.choice(k, batch // 16, replace=False), 16),
                 "Xs": rng.randint(0, 256, (batch, gh, gw, 3), dtype=np.uint8),
                 "keypoints": rng.randint(0, 60, (batch, 18, 2)).astype(
                     np.float32),

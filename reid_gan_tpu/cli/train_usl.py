@@ -80,7 +80,8 @@ def main(argv=None, mesh=None):
         temp=cfg.cluster.temp, momentum=cfg.cluster.momentum,
         use_hard=cfg.cluster.use_hard, lr=cfg.optim.lr,
         weight_decay=cfg.optim.weight_decay, step_size=cfg.optim.step_size,
-        iters_per_epoch=cfg.train.iters, mesh=mesh)
+        iters_per_epoch=cfg.train.iters,
+        num_instances=cfg.data.num_instances, mesh=mesh)
 
     epochs = 1 if cfg.train.debug else cfg.train.epochs
     iters = 8 if cfg.train.debug else cfg.train.iters

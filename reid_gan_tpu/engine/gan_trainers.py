@@ -121,7 +121,8 @@ class ClusterContrastWithGANTrainer:
                                               state.enc_params)
             params = optax.apply_updates(state.enc_params, updates)
             memory = update_memory(state.memory, f_out, targets,
-                                   self.momentum, self.use_hard)
+                                   self.momentum, self.use_hard,
+                                   group_size=self.group_size)
             new = state._replace(enc_params=params, enc_batch_stats=bs,
                                  enc_opt=enc_opt, memory=memory,
                                  step=state.step + 1)
@@ -220,7 +221,8 @@ class ClusterContrastWithGANTrainer:
             # twin bank) — a no-op when the bank is empty
             memory = update_memory(state.memory, f_out, targets,
                                    self.momentum, self.use_hard,
-                                   gan_x=jnp.mean(f_gan0, axis=(1, 2)))
+                                   gan_x=jnp.mean(f_gan0, axis=(1, 2)),
+                                   group_size=self.group_size)
             gan_state = state.gan._replace(
                 G={"params": g_params, "batch_stats": state.gan.G["batch_stats"]},
                 D=D_new, opt_G=opt_G, opt_D=opt_D, step=state.gan.step + 1)
@@ -252,7 +254,8 @@ class ClusterContrastWithGANTrainer:
                                               state.enc_params)
             params = optax.apply_updates(state.enc_params, updates)
             memory = update_memory(state.memory, f_out, targets,
-                                   self.momentum, self.use_hard)
+                                   self.momentum, self.use_hard,
+                                   group_size=self.group_size)
             new = state._replace(enc_params=params, enc_batch_stats=bs,
                                  enc_opt=enc_opt, memory=memory,
                                  step=state.step + 1)
@@ -416,7 +419,8 @@ class ClusterContrastWithGANTrainer:
             g_params = optax.apply_updates(state.gan.G["params"], g_updates)
 
             memory = update_memory(state.memory, fused, targets,
-                                   self.momentum, self.use_hard)
+                                   self.momentum, self.use_hard,
+                                   group_size=self.group_size)
             gan_state = state.gan._replace(
                 G={"params": g_params, "batch_stats": state.gan.G["batch_stats"]},
                 D=D_new, opt_G=opt_G, opt_D=opt_D, step=state.gan.step + 1)

@@ -55,12 +55,13 @@ class ClusterContrastTrainer:
 
     def __init__(self, model, height=256, width=128, temp=0.05, momentum=0.2,
                  use_hard=False, lr=3.5e-4, weight_decay=5e-4, step_size=20,
-                 iters_per_epoch=400, mesh=None):
+                 iters_per_epoch=400, num_instances=None, mesh=None):
         self.model = model
         self.mesh = mesh
         self.temp = temp
         self.momentum = momentum
         self.use_hard = use_hard
+        self.num_instances = num_instances  # sampler P×K bound → fast bank fold
         self.tx = make_optimizer(lr, weight_decay, step_size, iters_per_epoch)
 
         def step_fn(state, img_u8, targets, seed):
@@ -80,7 +81,8 @@ class ClusterContrastTrainer:
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             memory = update_memory(state.memory, feats, targets,
-                                   momentum=self.momentum, use_hard=self.use_hard)
+                                   momentum=self.momentum, use_hard=self.use_hard,
+                                   group_size=self.num_instances)
             return ReIDTrainState(params, batch_stats, opt_state, memory,
                                   state.step + 1), loss
 

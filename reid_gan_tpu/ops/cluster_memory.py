@@ -96,7 +96,7 @@ def memory_loss(x, targets, state, temp=0.05, ex_f=None, group_size=1):
 
 
 def update_memory(state, x, targets, momentum=0.2, use_hard=False,
-                  gan_x=None):
+                  gan_x=None, group_size=None):
     """Momentum bank update, applied AFTER the gradient step.
 
     - plain CM (cm.py:29-31): sequential per-sample fold
@@ -104,16 +104,41 @@ def update_memory(state, x, targets, momentum=0.2, use_hard=False,
     - CM_Hard (cm.py:58-70): per cluster, the batch sample with MIN similarity
       to the current centroid updates once.
     - CM_gan (cm.py:99-103): plain update of both feature and GAN banks.
+
+    ``group_size``: static per-cluster occurrence bound (the sampler's
+    num_instances — RandomMultipleGallerySampler yields exactly K instances
+    per pid). When given, the plain fold scans over occurrence DEPTH
+    (group_size iterations of parallel disjoint scatters) instead of batch
+    position (B iterations of single-row scatters) — bit-identical, with a
+    ``lax.cond`` fallback to the batch-order scan if any label occurs more
+    often than the bound.
     """
     x = _l2n(jax.lax.stop_gradient(x))
     if use_hard:
         return _update_hard(state, x, targets, momentum)
-    feats = _sequential_fold(state.features, x, targets, momentum)
+    feats = _plain_fold(state.features, x, targets, momentum, group_size)
     gan_feats = state.gan_features
     if gan_x is not None and state.gan_features.shape[0] > 0:
-        gan_feats = _sequential_fold(state.gan_features,
-                                     jax.lax.stop_gradient(gan_x), targets, momentum)
+        gan_feats = _plain_fold(state.gan_features,
+                                jax.lax.stop_gradient(gan_x), targets,
+                                momentum, group_size)
     return state._replace(features=feats, gan_features=gan_feats)
+
+
+def _plain_fold(bank, x, targets, momentum, group_size=None):
+    if group_size is None or group_size >= x.shape[0]:
+        return _sequential_fold(bank, x, targets, momentum)
+    # occ[i] = # of earlier batch slots with the same label — the sample's
+    # update depth within its cluster's sequential chain
+    b = x.shape[0]
+    eq = targets[None, :] == targets[:, None]
+    lower = jnp.tril(jnp.ones((b, b), bool), -1)
+    occ = jnp.sum(eq & lower, axis=1).astype(jnp.int32)
+    return jax.lax.cond(
+        jnp.max(occ) >= group_size,
+        lambda bk: _sequential_fold(bk, x, targets, momentum),
+        lambda bk: _occurrence_fold(bk, x, targets, momentum, occ, group_size),
+        bank)
 
 
 def _sequential_fold(bank, x, targets, momentum):
@@ -128,28 +153,44 @@ def _sequential_fold(bank, x, targets, momentum):
     return bank
 
 
+def _occurrence_fold(bank, x, targets, momentum, occ, group_size):
+    """Depth-g of every cluster's chain updates in one parallel scatter:
+    within a depth the touched rows are distinct (occ is unique per label),
+    and updates to different rows commute, so batch-order semantics are
+    preserved exactly."""
+    k_pad = bank.shape[0]
+
+    def body(feats, g):
+        rows = feats[targets]                               # (B, D)
+        upd = momentum * rows + (1.0 - momentum) * x
+        upd = upd * jax.lax.rsqrt(
+            jnp.sum(upd * upd, axis=-1, keepdims=True) + 1e-24)
+        # rows whose depth isn't g scatter out of bounds and are dropped
+        tgt = jnp.where(occ == g, targets, k_pad)
+        return feats.at[tgt].set(upd, mode="drop"), None
+
+    bank, _ = jax.lax.scan(body, bank,
+                           jnp.arange(group_size, dtype=jnp.int32))
+    return bank
+
+
 def _update_hard(state, x, targets, momentum):
     """Vectorized CM_Hard: choose per cluster the batch sample with minimum
     dot-product to the PRE-update centroid, first-in-batch tie-break (matches
-    the np.argmin over the batch-ordered list at cm.py:58-70)."""
+    the np.argmin over the batch-ordered list at cm.py:58-70): segment-min of
+    the similarities, then segment-min of the batch index over the exact
+    (float-equal) argmin set — identical winner to the strict-less scan."""
     k_pad = state.features.shape[0]
     b = x.shape[0]
     sims = jnp.sum(x * state.features[targets], axis=-1)  # (B,)
 
-    def body(carry, inp):
-        best_sim, best_idx = carry
-        i, yi, si = inp
-        better = si < best_sim[yi]
-        best_sim = best_sim.at[yi].set(jnp.where(better, si, best_sim[yi]))
-        best_idx = best_idx.at[yi].set(jnp.where(better, i, best_idx[yi]))
-        return (best_sim, best_idx), None
-
-    init = (jnp.full((k_pad,), jnp.inf, jnp.float32),
-            jnp.full((k_pad,), -1, jnp.int32))
+    best_sim = jax.ops.segment_min(sims, targets, num_segments=k_pad)
+    is_best = sims == best_sim[targets]
     idxs = jnp.arange(b, dtype=jnp.int32)
-    (best_sim, best_idx), _ = jax.lax.scan(body, init, (idxs, targets, sims))
+    best_idx = jax.ops.segment_min(jnp.where(is_best, idxs, b), targets,
+                                   num_segments=k_pad)
 
-    touched = best_idx >= 0
+    touched = best_idx < b
     hard_x = x[jnp.clip(best_idx, 0, b - 1)]                   # (K_pad, D)
     upd = momentum * state.features + (1.0 - momentum) * hard_x
     upd = upd * jax.lax.rsqrt(jnp.sum(upd * upd, axis=-1, keepdims=True) + 1e-24)

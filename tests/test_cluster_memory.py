@@ -122,3 +122,62 @@ def test_extended_negatives_mask(rng):
     for i in range(8):
         assert logits[i, k + i // 2] < -1000
     assert np.isfinite(np.asarray(loss)).all()
+
+
+def test_occurrence_fold_bitexact_vs_sequential(rng):
+    """The group_size occurrence-depth fold must match the batch-order scan
+    bit for bit, for both P×K-grouped and shuffled label layouts."""
+    k, d, p, g = 9, 16, 4, 4
+    centers = _l2n(rng.randn(k, d)).astype(np.float32)
+    x = rng.randn(p * g, d).astype(np.float32)
+    grouped = np.repeat(rng.choice(k, p, replace=False), g).astype(np.int32)
+    shuffled = grouped.copy()
+    rng.shuffle(shuffled)
+    for y in (grouped, shuffled):
+        for gan in (False, True):
+            gk = {}
+            if gan:
+                gk["gan_centroids"] = _l2n(rng.randn(k, d)).astype(np.float32)
+            state = init_memory(centers, **gk)
+            gx = jnp.asarray(rng.randn(p * g, d).astype(np.float32)) if gan \
+                else None
+            slow = update_memory(state, jnp.asarray(x), jnp.asarray(y),
+                                 momentum=0.2, gan_x=gx)
+            fast = update_memory(state, jnp.asarray(x), jnp.asarray(y),
+                                 momentum=0.2, gan_x=gx, group_size=g)
+            np.testing.assert_array_equal(np.asarray(slow.features),
+                                          np.asarray(fast.features))
+            np.testing.assert_array_equal(np.asarray(slow.gan_features),
+                                          np.asarray(fast.gan_features))
+
+
+def test_occurrence_fold_overflow_falls_back(rng):
+    """A label occurring more often than group_size trips the lax.cond
+    fallback to the sequential fold — results stay exact."""
+    k, d, b = 5, 8, 12
+    centers = _l2n(rng.randn(k, d)).astype(np.float32)
+    x = rng.randn(b, d).astype(np.float32)
+    y = np.zeros(b, np.int32)          # one label 12 times > group_size 4
+    state = init_memory(centers)
+    fast = update_memory(state, jnp.asarray(x), jnp.asarray(y),
+                         momentum=0.2, group_size=4)
+    ref = _oracle_update_plain(centers, x, y, 0.2)
+    np.testing.assert_allclose(np.asarray(fast.features), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_update_hard_first_in_batch_tiebreak(rng):
+    """Two batch samples with IDENTICAL minimum similarity: the earlier batch
+    slot must win (strict-less scan semantics of cm.py:58-70)."""
+    k, d = 3, 8
+    centers = _l2n(rng.randn(k, d)).astype(np.float32)
+    x = np.stack([centers[0] * 2.0, centers[0] * 2.0,
+                  centers[0] * 3.0]).astype(np.float32)
+    # samples 0 and 1 normalize to the same vector → equal sims; 2 also equal
+    y = np.zeros(3, np.int32)
+    state = init_memory(centers)
+    new = update_memory(state, jnp.asarray(x), jnp.asarray(y), momentum=0.2,
+                        use_hard=True)
+    ref = _oracle_update_hard(centers, x, y, 0.2)   # np.argmin → first index
+    np.testing.assert_allclose(np.asarray(new.features), ref,
+                               rtol=1e-5, atol=1e-6)
