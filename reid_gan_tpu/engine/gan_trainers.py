@@ -103,8 +103,13 @@ class ClusterContrastWithGANTrainer:
 
             def loss_fn(params):
                 f_out, _, bs = self._enc(params, state.enc_batch_stats, x, True)
-                fc_image = gan.synthesize_fc(
-                    state.gan.G, xs, jax.lax.stop_gradient(f_out), group_size)
+                # G runs in TRAIN mode: torch nets default to train and the
+                # reference never switches the GAN to eval in the joint path
+                # (trainers.py:52-98), so its BN normalizes with batch stats
+                # and updates running stats on every synthesize_fc forward.
+                fc_image, g_bs = gan.synthesize_fc(
+                    state.gan.G, xs, jax.lax.stop_gradient(f_out), group_size,
+                    train=True, mutable=True)
                 # re-encode generated images in eval mode (trainers.py:66-70)
                 f_ex, _, _ = self._enc(params, bs,
                                        diff_transform(fc_image, self.h, self.w),
@@ -113,9 +118,9 @@ class ClusterContrastWithGANTrainer:
                                         temp=self.temp,
                                         ex_f=jax.lax.stop_gradient(f_ex),
                                         group_size=group_size)
-                return losses.mean(), (bs, f_out)
+                return losses.mean(), (bs, f_out, g_bs)
 
-            (loss, (bs, f_out)), grads = jax.value_and_grad(
+            (loss, (bs, f_out, g_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.enc_params)
             updates, enc_opt = self.tx.update(grads, state.enc_opt,
                                               state.enc_params)
@@ -123,9 +128,12 @@ class ClusterContrastWithGANTrainer:
             memory = update_memory(state.memory, f_out, targets,
                                    self.momentum, self.use_hard,
                                    group_size=self.group_size)
+            gan_state = state.gan._replace(
+                G={"params": state.gan.G["params"],
+                   "batch_stats": jax.lax.stop_gradient(g_bs)})
             new = state._replace(enc_params=params, enc_batch_stats=bs,
                                  enc_opt=enc_opt, memory=memory,
-                                 step=state.step + 1)
+                                 gan=gan_state, step=state.step + 1)
             return new, {"loss": loss}
 
         return step
@@ -173,13 +181,22 @@ class ClusterContrastWithGANTrainer:
             f_gan0 = jax.lax.stop_gradient(f_gan)
 
             # --- the ONLY generator forward (conditioning detached,
-            #     trainers_b.py:756: synthesize_p(f_out.detach()))
+            #     trainers_b.py:756: synthesize_p(f_out.detach())). G runs in
+            #     TRAIN mode — torch modules default to train and the
+            #     reference never calls .eval() on the GAN nets in the joint
+            #     path (trainers_b.py:617-814), so BN normalizes with batch
+            #     stats and its running stats update once per step; the
+            #     updated stats ride out as vjp aux and land in the new state.
             def g_fn(g_params):
                 G = {"params": g_params,
                      "batch_stats": state.gan.G["batch_stats"]}
-                return gan.synthesize_p(G, f_gan0, ps)
+                fake, g_bs = gan.synthesize_p(G, f_gan0, ps, train=True,
+                                              mutable=True)
+                return fake, g_bs
 
-            fake, g_vjp = jax.vjp(g_fn, state.gan.G["params"])
+            fake, g_vjp, g_bs = jax.vjp(g_fn, state.gan.G["params"],
+                                        has_aux=True)
+            g_bs = jax.lax.stop_gradient(g_bs)
             fake0 = jax.lax.stop_gradient(fake)
 
             # --- D step (trainers_b.py:764-767)
@@ -224,7 +241,7 @@ class ClusterContrastWithGANTrainer:
                                    gan_x=jnp.mean(f_gan0, axis=(1, 2)),
                                    group_size=self.group_size)
             gan_state = state.gan._replace(
-                G={"params": g_params, "batch_stats": state.gan.G["batch_stats"]},
+                G={"params": g_params, "batch_stats": g_bs},
                 D=D_new, opt_G=opt_G, opt_D=opt_D, step=state.gan.step + 1)
             new = state._replace(enc_params=enc_params, enc_batch_stats=bs,
                                  enc_opt=enc_opt, gan=gan_state, memory=memory,
@@ -304,10 +321,13 @@ class ClusterContrastWithGANTrainer:
                     (feats.shape[0], h8, w8, feats.shape[1]))
                 G = {"params": g_params,
                      "batch_stats": state.gan.G["batch_stats"]}
-                return gan.synthesize_p(G, fmap, ps)
+                # train-mode BN (torch default; the joint path never evals
+                # the GAN). Both renders per step see identical inputs, so
+                # taking the joint forward's stats = one update per step.
+                return gan.synthesize_p(G, fmap, ps, train=True, mutable=True)
 
             fake0 = jax.lax.stop_gradient(render_from_clusters(
-                state.gan.G["params"], gmem.clusters))
+                state.gan.G["params"], gmem.clusters)[0])
 
             # D step on detached fake
             def d_loss_fn(d_params):
@@ -326,14 +346,15 @@ class ClusterContrastWithGANTrainer:
                 enc_params, g_params, clusters = packed
                 f_out, _, bs = self._enc(enc_params, state.enc_batch_stats,
                                          x, True)
-                fake = render_from_clusters(g_params, clusters)
+                fake, g_bs = render_from_clusters(g_params, clusters)
                 loss_G = gan.get_loss_G(D_new, fake, xs)
                 loss_cl, _ = gradient_memory_loss(
                     f_out, targets, gmem._replace(clusters=clusters),
                     temp=self.temp)
-                return loss_cl + loss_G, (bs, loss_cl, loss_G)
+                return loss_cl + loss_G, (bs, jax.lax.stop_gradient(g_bs),
+                                          loss_cl, loss_G)
 
-            (loss, (bs, loss_cl, loss_G)), grads = jax.value_and_grad(
+            (loss, (bs, g_bs, loss_cl, loss_G)), grads = jax.value_and_grad(
                 joint_loss_fn, has_aux=True)(
                     (state.enc_params, state.gan.G["params"], gmem.clusters))
             enc_grads, g_grads, cluster_grads = grads
@@ -350,7 +371,7 @@ class ClusterContrastWithGANTrainer:
                                             cluster_lr=cluster_lr)
 
             gan_state = state.gan._replace(
-                G={"params": g_params, "batch_stats": state.gan.G["batch_stats"]},
+                G={"params": g_params, "batch_stats": g_bs},
                 D=D_new, opt_G=opt_G, opt_D=opt_D, step=state.gan.step + 1)
             new = state._replace(enc_params=enc_params, enc_batch_stats=bs,
                                  enc_opt=enc_opt, gan=gan_state,
@@ -375,8 +396,11 @@ class ClusterContrastWithGANTrainer:
             targets = batch["pid"]
             xs = gan_input_transform(batch["Xs"], self.gan.h, self.gan.w)
 
+            # train-mode BN, as everywhere in the reference joint path; the
+            # joint forward below re-runs the same (xs, params) so its stats
+            # are the step's single BN update and this render's are dropped.
             fake0 = jax.lax.stop_gradient(
-                gan.apply_G(state.gan.G, xs, train=False))
+                gan.apply_G(state.gan.G, xs, train=True, mutable=True)[0])
 
             def d_loss_fn(d_params):
                 return gan.d_loss(d_params, state.gan.D["batch_stats"], xs,
@@ -401,13 +425,14 @@ class ClusterContrastWithGANTrainer:
                 loss_cl = 0.5 * (l1.mean() + l2.mean())
                 G = {"params": g_params,
                      "batch_stats": state.gan.G["batch_stats"]}
-                fake = gan.apply_G(G, xs, train=False)
+                fake, g_bs = gan.apply_G(G, xs, train=True, mutable=True)
                 loss_G = gan.get_loss_G(D_new, fake, xs)
                 fused = f1 + f2
-                return loss_cl + loss_G, (mut["batch_stats"], fused,
-                                          loss_cl, loss_G)
+                return loss_cl + loss_G, (mut["batch_stats"],
+                                          jax.lax.stop_gradient(g_bs),
+                                          fused, loss_cl, loss_G)
 
-            (loss, (bs, fused, loss_cl, loss_G)), grads = jax.value_and_grad(
+            (loss, (bs, g_bs, fused, loss_cl, loss_G)), grads = jax.value_and_grad(
                 joint_loss_fn, has_aux=True)(
                     (state.enc_params, state.gan.G["params"]))
             enc_grads, g_grads = grads
@@ -422,7 +447,7 @@ class ClusterContrastWithGANTrainer:
                                    self.momentum, self.use_hard,
                                    group_size=self.group_size)
             gan_state = state.gan._replace(
-                G={"params": g_params, "batch_stats": state.gan.G["batch_stats"]},
+                G={"params": g_params, "batch_stats": g_bs},
                 D=D_new, opt_G=opt_G, opt_D=opt_D, step=state.gan.step + 1)
             new = state._replace(enc_params=enc_params, enc_batch_stats=bs,
                                  enc_opt=enc_opt, gan=gan_state, memory=memory,

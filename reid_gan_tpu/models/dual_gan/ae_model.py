@@ -166,9 +166,23 @@ class AEModel:
                             mutable=mutable)
 
     def synthesize_fc(self, G, source_image, reid_f, group_size=16,
-                      train=False):
+                      train=False, mutable=False):
         """Encode source images, hard-mix per group, decode
-        (AE_model.py:256-272; AE generator only)."""
+        (AE_model.py:256-272; AE generator only). With ``mutable`` the
+        encoder's updated batch_stats feed the decoder pass and the final
+        stats are returned alongside the images (torch train-mode BN updates
+        running stats on every forward — CC trainers never call .eval() on
+        the GAN nets)."""
+        if mutable:
+            f_s, bs1 = self.apply_G(G, source_image, train=train,
+                                    method=self.net_G.forward_enc,
+                                    mutable=True)
+            mixed = hard_mix(f_s.reshape(f_s.shape[0], -1), reid_f,
+                             group_size, self.lambda_fus
+                             ).reshape((-1,) + f_s.shape[1:])
+            return self.apply_G({"params": G["params"], "batch_stats": bs1},
+                                mixed, train=train,
+                                method=self.net_G.forward_dec, mutable=True)
         f_s = self.apply_G(G, source_image, train=train,
                            method=self.net_G.forward_enc)
         # one mixed feature per P-group: (num_groups, h, w, c)

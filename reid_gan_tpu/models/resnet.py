@@ -177,7 +177,9 @@ class ReIDResNet(nn.Module):
     def __call__(self, x, train: bool = False, test_all: bool = False):
         fmap = ResNetBackbone(self.depth, self.last_stride, self.ibn,
                               dtype=self.dtype, name="base")(x, train)
-        fmap = fmap.astype(jnp.float32)
+        # upcast bf16 backbone outputs for the f32 heads; f64 (the torch
+        # train-parity oracle) passes through untouched
+        fmap = fmap.astype(jnp.promote_types(fmap.dtype, jnp.float32))
         # GAN branch: per-position channel-L2 normalization
         # (resnet.py:93,107 — F.normalize(gan_x, dim=1) on NCHW)
         gan_feat = fmap * jnp.reciprocal(

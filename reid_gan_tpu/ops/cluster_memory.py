@@ -35,16 +35,19 @@ class MemoryState(NamedTuple):
 
 def init_memory(centroids, k_pad=None, gan_centroids=None):
     """Build a MemoryState from per-epoch centroids (already L2-normalized as
-    in CC/examples/...usl.py:169-184), zero-padded to k_pad rows."""
-    c = jnp.asarray(centroids, jnp.float32)
+    in CC/examples/...usl.py:169-184), zero-padded to k_pad rows. The bank
+    dtype is at least float32; float64 centroids are preserved (used by the
+    fp64 torch train-parity oracle)."""
+    c = jnp.asarray(centroids)
+    c = c.astype(jnp.promote_types(c.dtype, jnp.float32))
     k = c.shape[0]
     k_pad = k_pad or k
     pad = ((0, k_pad - k), (0, 0))
     feats = jnp.pad(c, pad)
     if gan_centroids is not None:
-        g = jnp.pad(jnp.asarray(gan_centroids, jnp.float32), pad)
+        g = jnp.pad(jnp.asarray(gan_centroids, c.dtype), pad)
     else:
-        g = jnp.zeros((0, c.shape[1]), jnp.float32)
+        g = jnp.zeros((0, c.shape[1]), c.dtype)
     return MemoryState(feats, g, jnp.asarray(k, jnp.int32))
 
 
@@ -73,7 +76,9 @@ def memory_loss(x, targets, state, temp=0.05, ex_f=None, group_size=1):
     """
     x = _l2n(x)
     bank = jax.lax.stop_gradient(state.features)
-    logits = jnp.dot(x, bank.T, preferred_element_type=jnp.float32,
+    acc_t = jnp.promote_types(jnp.promote_types(x.dtype, bank.dtype),
+                              jnp.float32)
+    logits = jnp.dot(x, bank.T, preferred_element_type=acc_t,
                      precision=jax.lax.Precision.HIGHEST)
     k_pad = bank.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
@@ -81,7 +86,7 @@ def memory_loss(x, targets, state, temp=0.05, ex_f=None, group_size=1):
     if ex_f is not None:
         ex = _l2n(ex_f)
         t = ex.shape[0]
-        lex = jnp.dot(x, ex.T, preferred_element_type=jnp.float32,
+        lex = jnp.dot(x, ex.T, preferred_element_type=acc_t,
                       precision=jax.lax.Precision.HIGHEST)
         # mask each sample's own synthetic source: −10000·I repeated per group
         row = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], t), 0) // group_size

@@ -162,3 +162,60 @@ def test_iterloader_close_joins_workers(dataset):
     _t.sleep(0.3)
     assert len(calls) == n_after_close  # producer fully stopped
     assert it.iter is None
+
+
+def test_image_cache_decodes_once_and_respects_budget(dataset):
+    """The decoded-uint8 RAM cache (VERDICT r3 #3): identical arrays to a
+    direct decode, one decode per (path, size), streaming fallback past the
+    budget."""
+    from reid_gan_tpu.data import loader as loader_mod
+    from reid_gan_tpu.data.loader import ImageCache, _decode
+
+    fname = dataset.train[0][0]
+    direct_img, direct_sz = _decode(fname, 64, 32)
+
+    cache = ImageCache(budget_bytes=1 << 20)
+    calls = {"n": 0}
+    orig = loader_mod._decode
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    loader_mod._decode = counting
+    try:
+        a1, s1 = cache.get(fname, 64, 32)
+        a2, s2 = cache.get(fname, 64, 32)
+        assert calls["n"] == 1            # second hit served from RAM
+        assert a1 is a2
+        np.testing.assert_array_equal(a1, direct_img)
+        np.testing.assert_array_equal(s1, direct_sz)
+        # different size = different cache entry
+        cache.get(fname, 32, 16)
+        assert calls["n"] == 2
+
+        # budget exhaustion -> streaming fallback (decode every time,
+        # nothing new inserted)
+        tiny = ImageCache(budget_bytes=0)
+        calls["n"] = 0
+        tiny.get(fname, 64, 32)
+        tiny.get(fname, 64, 32)
+        assert calls["n"] == 2 and len(tiny) == 0
+    finally:
+        loader_mod._decode = orig
+
+
+def test_loader_uses_shared_cache(dataset):
+    """Two epochs over the same Preprocessor decode each file once."""
+    from reid_gan_tpu.data.loader import ImageCache
+
+    cache = ImageCache()
+    pre = Preprocessor(list(dataset.train), mode="reid", height=64, width=32,
+                       cache=cache)
+    loader = DataLoader(pre, batch_size=4, num_workers=2, drop_last=False)
+    n1 = sum(len(b["pid"]) for b in loader)
+    assert len(cache) == len(dataset.train)
+    used_after_first = cache.used
+    n2 = sum(len(b["pid"]) for b in loader)
+    assert n1 == n2 == len(dataset.train)
+    assert cache.used == used_after_first  # epoch 2 inserted nothing new

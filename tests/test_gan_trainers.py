@@ -170,7 +170,8 @@ def test_train_all_vjp_equals_double_forward():
         _, f_gan0, _ = trainer._enc(state.enc_params, state.enc_batch_stats,
                                     x, True)
         f_gan0 = jax.lax.stop_gradient(f_gan0)
-        fake0 = jax.lax.stop_gradient(gan.synthesize_p(state.gan.G, f_gan0, ps))
+        fake0 = jax.lax.stop_gradient(gan.synthesize_p(
+            state.gan.G, f_gan0, ps, train=True, mutable=True)[0])
 
         def d_loss_fn(d_params):
             return gan.d_loss(d_params, state.gan.D["batch_stats"], xs,
@@ -189,7 +190,8 @@ def test_train_all_vjp_equals_double_forward():
                                             x, True)
             G = {"params": g_params,
                  "batch_stats": state.gan.G["batch_stats"]}
-            fake = gan.synthesize_p(G, jax.lax.stop_gradient(f_gan), ps)
+            fake, _ = gan.synthesize_p(G, jax.lax.stop_gradient(f_gan), ps,
+                                       train=True, mutable=True)
             loss_G = gan.get_loss_G(D_new, fake, xs)
             losses_cl, _ = memory_loss(f_out, targets, state.memory,
                                        temp=trainer.temp)
@@ -205,19 +207,35 @@ def test_train_all_vjp_equals_double_forward():
         g_updates, _ = gan.tx_G.update(g_grads, state.gan.opt_G,
                                        state.gan.G["params"])
         g_params = optax.apply_updates(state.gan.G["params"], g_updates)
-        return enc_params, g_params, d_params
+        return (enc_params, g_params, d_params,
+                enc_grads, g_grads, d_grads)
 
-    ref_enc, ref_g, ref_d = jax.jit(old_step)(state)
+    (ref_enc, ref_g, ref_d,
+     ref_enc_g, ref_g_g, ref_d_g) = jax.jit(old_step)(state)
 
     new_state, _ = jax.jit(trainer._make_train_all_step())(
         state, {k: jnp.asarray(v) for k, v in batch.items()}, seed, conf_mask)
 
-    for name, got, want in (("enc", new_state.enc_params, ref_enc),
-                            ("G", new_state.gan.G["params"], ref_g),
-                            ("D", new_state.gan.D["params"], ref_d)):
+    # Under train-mode BN (reference semantics), params feeding straight
+    # into a BatchNorm (conv biases etc.) have MATHEMATICALLY zero gradient
+    # (BN subtracts the batch mean), so their computed grads are pure float
+    # noise and Adam's step-1 g/|g| turns that noise into ±lr sign flips
+    # that legitimately differ between the two compiled programs. Compare
+    # only elements whose reference gradient is genuinely nonzero.
+    for name, got, want, ref_grad in (
+            ("enc", new_state.enc_params, ref_enc, ref_enc_g),
+            ("G", new_state.gan.G["params"], ref_g, ref_g_g),
+            ("D", new_state.gan.D["params"], ref_d, ref_d_g)):
         flat_got = jax.tree_util.tree_leaves(got)
         flat_want = jax.tree_util.tree_leaves(want)
-        for a, b in zip(flat_got, flat_want):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+        flat_grad = jax.tree_util.tree_leaves(ref_grad)
+        assert len(flat_got) == len(flat_want) == len(flat_grad)
+        compared = 0
+        for a, b, g in zip(flat_got, flat_want, flat_grad):
+            a, b, g = np.asarray(a), np.asarray(b), np.asarray(g)
+            mask = np.abs(g) > 1e-5
+            compared += int(mask.sum())
+            np.testing.assert_allclose(a[mask], b[mask],
                                        atol=5e-5, rtol=1e-4,
                                        err_msg=f"{name} params diverge")
+        assert compared > 0, f"{name}: no live-gradient elements compared"

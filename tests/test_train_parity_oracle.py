@@ -1,0 +1,215 @@
+"""One-step TRAIN parity oracle vs torch (VERDICT r3 missing #1 / next #2).
+
+Every other torch-interop test is a `no_grad` forward; this file proves the
+TRAINING dynamics of the flagship USL step match a torch transcription of
+the reference step (CC/clustercontrast/trainers.py:213-270 +
+models/cm.py:9-33,123-137 + models/resnet.py:73-107):
+
+    resnet50 trunk (last-stride 1) -> GeM(p trainable) -> feat_bn (train
+    mode, bias frozen) -> F.normalize -> InfoNCE vs a stop-gradient memory
+    bank -> Adam 3.5e-4 with COUPLED weight decay 5e-4 -> sequential
+    momentum bank update.
+
+Identical imported weights + one identical batch through both steps, in
+FLOAT64 on both sides so framework semantics are isolated from float noise
+(in fp32, temp=0.05 amplifies ~1.5e-4 conv reassociation into ~1e-3
+gradient differences; at fp64 any disagreement above ~1e-9 is a real
+semantic divergence). Asserts: (a) loss equality to 1e-9, (b) per-layer
+gradient cosine > 1-1e-9 for every trainable tensor, (c) post-step memory
+bank equal to 1e-9 (sequential-fold parity incl. in-batch duplicate
+labels), (d) post-Adam-update agreement of the GeM power.
+
+Augmentation is excluded on both sides (the reference augments in the
+DataLoader workers, not in the step) — the same batch feeds both. This is
+the strongest attainable stand-in for the Market >=86.5-mAP check, which
+cannot run in this dataset-less environment.
+"""
+
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from test_torch_interop import _TorchResNet50
+
+B, K, D = 8, 4, 2048
+H, W = 64, 32
+TEMP, MOMENTUM = 0.05, 0.2
+LR, WD = 3.5e-4, 5e-4
+
+
+class _TorchCCModel(tnn.Module):
+    """CC resnet50 train head: GeM(p) -> feat_bn (bias frozen) -> normalize
+    (CC/clustercontrast/models/resnet.py:73-107, pooling.py:57-103)."""
+
+    def __init__(self):
+        super().__init__()
+        self.trunk = _TorchResNet50(ibn=False, last_stride=1)
+        self.gem_p = tnn.Parameter(torch.ones(1) * 3.0)
+        self.feat_bn = tnn.BatchNorm1d(D)
+        tnn.init.constant_(self.feat_bn.weight, 1.0)
+        tnn.init.constant_(self.feat_bn.bias, 0.0)
+        self.feat_bn.bias.requires_grad_(False)
+
+    def forward(self, x):
+        fmap = self.trunk(x)
+        pooled = fmap.clamp(min=1e-6).pow(self.gem_p).mean(dim=(2, 3)) \
+                     .pow(1.0 / self.gem_p)
+        bn = self.feat_bn(pooled)
+        return tF.normalize(bn, dim=1)
+
+
+def _torch_step(model, img, targets, bank):
+    """The reference USL iteration: InfoNCE vs a constant bank (cm.py:9-33
+    never differentiates through `features`), Adam+coupled-wd step, then the
+    sequential in-place momentum bank update (cm.py:29-31)."""
+    model.train()
+    opt = torch.optim.Adam([p for p in model.parameters() if p.requires_grad],
+                           lr=LR, weight_decay=WD)
+    bank_t = torch.from_numpy(bank.copy())
+    x = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    y = torch.from_numpy(targets.astype(np.int64))
+
+    f_out = model(x)
+    inputs = tF.normalize(f_out, dim=1)
+    logits = inputs.mm(bank_t.t()) / TEMP
+    loss = tF.cross_entropy(logits, y, reduction="none").mean()
+    opt.zero_grad()
+    loss.backward()
+    grads = {n: p.grad.detach().numpy().copy()
+             for n, p in model.named_parameters() if p.grad is not None}
+    opt.step()
+
+    with torch.no_grad():
+        for xi, yi in zip(inputs.detach(), y):
+            bank_t[yi] = MOMENTUM * bank_t[yi] + (1.0 - MOMENTUM) * xi
+            bank_t[yi] /= bank_t[yi].norm()
+    return float(loss.detach()), grads, bank_t.numpy()
+
+
+def _import_tree(sd_like, variables, gem_p=None):
+    """Map a torch state-dict-shaped dict of arrays onto our (params,
+    batch_stats) trees via the checkpoint importer — reused for GRADIENTS,
+    giving an exact torch-name -> jax-path alignment for free."""
+    from reid_gan_tpu.models.resnet import import_torch_resnet
+
+    sd = {k.replace("trunk.", "", 1): np.asarray(v) for k, v in sd_like.items()
+          if k != "gem_p"}
+    # torch's feat_bn.bias is frozen at 0 (resnet.py:61); our feat_bn is
+    # scale-only by construction, so the zero bias has no destination
+    sd.pop("feat_bn.bias", None)
+    params, batch_stats, unmatched = import_torch_resnet(
+        sd, variables["params"], variables["batch_stats"])
+    assert unmatched == [], unmatched[:10]
+    if gem_p is not None and "gap" in params:
+        params["gap"]["p"] = jnp.asarray(
+            np.asarray(gem_p, np.float64).reshape(np.shape(params["gap"]["p"])))
+    return params, batch_stats
+
+
+def _cosine(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na < 1e-30 and nb < 1e-30:
+        return 1.0
+    return float(np.dot(a, b) / (na * nb + 1e-300))
+
+
+def _to64(tree):
+    return jax.tree.map(lambda x: np.asarray(x, np.float64)
+                        if np.issubdtype(np.asarray(x).dtype, np.floating)
+                        else np.asarray(x), tree)
+
+
+def test_usl_train_step_matches_torch_oracle():
+    from reid_gan_tpu.engine.trainers import make_optimizer
+    from reid_gan_tpu.models import create as create_model
+    from reid_gan_tpu.ops.cluster_memory import (
+        init_memory,
+        memory_loss,
+        update_memory,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(B, H, W, 3).astype(np.float64)
+    targets = np.repeat(rng.permutation(K)[: B // 2], 2).astype(np.int32)[:B]
+    bank = rng.randn(K, D).astype(np.float64)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+
+    torch.manual_seed(7)
+    tmodel = _TorchCCModel().double()
+    # snapshot BEFORE the torch step — opt.step() and train-mode BN mutate
+    # params and running stats in place
+    sd = {n: v.detach().numpy().copy()
+          for n, v in tmodel.state_dict().items()}
+    t_loss, t_grads, t_bank = _torch_step(tmodel, img, targets, bank)
+
+    with jax.enable_x64(True):
+        jmodel = create_model("resnet50", norm=True, pooling_type="gem")
+        variables = jmodel.init(jax.random.PRNGKey(0),
+                                jnp.zeros((B, H, W, 3), jnp.float64),
+                                train=True)
+        variables = _to64(variables)   # f64 templates => f64 import
+        params, batch_stats = _import_tree(sd, variables, gem_p=3.0)
+        memory = init_memory(bank)
+        assert memory.features.dtype == jnp.float64
+
+        tx = make_optimizer(LR, WD, step_size=20, iters_per_epoch=400)
+        opt_state = tx.init(params)
+
+        def loss_fn(p):
+            out, _ = jmodel.apply({"params": p, "batch_stats": batch_stats},
+                                  jnp.asarray(img), train=True,
+                                  mutable=["batch_stats"])
+            losses, _ = memory_loss(out["feat"], jnp.asarray(targets), memory,
+                                    temp=TEMP)
+            return losses.mean(), out["feat"]
+
+        with jax.default_matmul_precision("highest"):
+            (j_loss, feats), j_grads = jax.jit(
+                jax.value_and_grad(loss_fn, has_aux=True))(params)
+            j_mem = update_memory(memory, feats, jnp.asarray(targets),
+                                  momentum=MOMENTUM)
+            updates, _ = tx.update(j_grads, opt_state, params)
+            import optax
+
+            new_params = optax.apply_updates(params, updates)
+
+        # (a) loss equality
+        np.testing.assert_allclose(float(j_loss), t_loss, rtol=1e-9,
+                                   err_msg="InfoNCE loss diverges from torch")
+
+        # (b) per-layer gradient cosine ~= 1 for every trainable tensor
+        zero_vars = {"params": jax.tree.map(np.zeros_like, variables["params"]),
+                     "batch_stats": variables["batch_stats"]}
+        g_tree, _ = _import_tree(t_grads, zero_vars, gem_p=t_grads["gem_p"])
+        flat_ref = dict(jax.tree_util.tree_flatten_with_path(g_tree)[0])
+        flat_got = dict(jax.tree_util.tree_flatten_with_path(j_grads)[0])
+        assert set(flat_ref) == set(flat_got)
+        checked = 0
+        for path, ref in flat_ref.items():
+            got = flat_got[path]
+            ref = np.asarray(ref)
+            if np.linalg.norm(ref) < 1e-30 and "feat_bn" in str(path):
+                continue  # the frozen feat_bn bias has no torch grad
+            c = _cosine(got, ref)
+            assert c > 1.0 - 1e-9, (
+                f"grad cosine 1-{1.0 - c:.3e} at {jax.tree_util.keystr(path)}")
+            checked += 1
+        assert checked >= 160  # resnet50: 53 convs + ~53 BN scale/bias + head
+
+        # (c) post-step memory bank (sequential fold parity incl. in-batch
+        #     duplicate labels)
+        np.testing.assert_allclose(np.asarray(j_mem.features), t_bank,
+                                   rtol=1e-9, atol=1e-12,
+                                   err_msg="post-step bank diverges")
+
+        # (d) post-Adam-update agreement of the GeM power (coupled wd +
+        #     bias-corrected moments at step 1)
+        t_p_new = float(tmodel.gem_p.detach())
+        j_p_new = float(np.asarray(new_params["gap"]["p"])[0])
+        np.testing.assert_allclose(j_p_new, t_p_new, rtol=1e-9)
