@@ -35,30 +35,38 @@ from ..utils.visualizer import Visualizer
 
 
 def compute_conf_weight(gan, gan_state, pseudo_dataset, memory, cfg,
-                        labels_by_index):
+                        pose_file=None):
     """GAN-reconstruction confidence weights: render each sample from its
-    cluster centroid, block the top (N / num_instances) worst-reconstructed
-    samples (parity: ...infomap.py:384-428)."""
+    cluster centroid CONDITIONED ON ITS REAL POSE, block the top
+    (N / num_instances) worst-reconstructed samples (parity:
+    ...infomap.py:384-428 with get_gan_loader:166-186, which builds the
+    only_gan loader with pose_file=dataset.train_pose_dir)."""
+    from ..ops.pose import cords_to_map
+
     pre = Preprocessor(pseudo_dataset, mode="only_gan",
                        gan_height=cfg.data.gan_height,
                        gan_width=cfg.data.gan_width,
-                       pose_file=None)
+                       pose_file=pose_file)
     loader = DataLoader(pre, batch_size=cfg.data.batch_size, drop_last=False,
                         num_workers=cfg.data.workers)
     n = len(pseudo_dataset)
     rec = np.zeros(n, np.float32)
     t0 = time.time()
+    gh, gw = cfg.data.gan_height, cfg.data.gan_width
     for batch in loader:
-        xs = gan_input_transform(jnp.asarray(batch["Xs"]),
-                                 cfg.data.gan_height, cfg.data.gan_width)
+        xs = gan_input_transform(jnp.asarray(batch["Xs"]), gh, gw)
         pids = np.asarray(batch["pid"])
         feats = memory.features[jnp.asarray(pids)]
         if gan.model_gen == "Pose":
-            h8, w8 = cfg.data.gan_height // 8, cfg.data.gan_width // 8
+            h8, w8 = gh // 8, gw // 8
             fmap = jnp.broadcast_to(feats[:, None, None, :],
                                     (feats.shape[0], h8, w8, feats.shape[1]))
-            ps = jnp.zeros((xs.shape[0], cfg.data.gan_height,
-                            cfg.data.gan_width, cfg.gan.pose_channels))
+            # the sample's own posemap, rendered on device exactly as the
+            # joint step does (engine/gan_trainers.py train_all)
+            pm = jax.vmap(lambda c, o: cords_to_map(c, o, gh, gw))(
+                jnp.asarray(batch["keypoints"]),
+                jnp.asarray(batch["old_size"]))
+            ps = jnp.transpose(pm, (0, 2, 3, 1))
             fake = gan.synthesize_p(gan_state.G, fmap, ps)
         else:
             fake = gan.apply_G(gan_state.G, xs)
@@ -174,7 +182,7 @@ def main(argv=None, mesh=None):
         conf_weight = None
         if cfg.gan.cluster_with_gan_features and epoch > cfg.gan.warmup_epo:
             conf_weight = compute_conf_weight(gan, state.gan, pseudo_dataset,
-                                              memory, cfg, None)
+                                              memory, cfg, pose_file)
 
         # mode dispatch (parity: ...infomap.py:450-466 bipath /
         # learnable_memory / gan_train / warmup flags)

@@ -262,6 +262,96 @@ def _chunk_stats_jax(topk, separate_camera_set, first_match_break):
 _JAX_KERNELS = {}
 
 
+def _chunk_stats_feats_jax(topk, separate_camera_set, first_match_break):
+    """Fused distance + rank kernel: a query-chunk's distance block is
+    computed on the MXU and consumed by the rank pass INSIDE one jitted
+    program — the (chunk, n) block never materializes off-device. This is
+    the device-resident replacement for the reference's host distmat
+    (CC/clustercontrast/evaluators.py:71-122), which at Market eval scale
+    round-trips ~214 MB between two device programs."""
+    from ..ops.distance import squared_euclidean
+
+    base = _chunk_stats_jax(topk, separate_camera_set, first_match_break)
+
+    def kernel(qf, gf, qid, qcam, gids, gcams):
+        return base(squared_euclidean(qf, gf), qid, qcam, gids, gcams)
+
+    return kernel
+
+
+def rank_metrics_features(query_feats, gallery_feats, query_ids=None,
+                          gallery_ids=None, query_cams=None,
+                          gallery_cams=None, topk=100,
+                          separate_camera_set=False, first_match_break=True,
+                          chunk=1024, mesh=None):
+    """Fused CMC + mAP straight from FEATURES — no host distance matrix.
+
+    Only the (m, d)/(n, d) feature matrices cross to device (once for the
+    gallery); each query chunk runs distance → sort → scatter-compact →
+    cumsum statistics as one XLA program, and only the (topk,) histogram +
+    two scalars return per chunk. With ``mesh``, chunk rows are sharded over
+    the data axis against the replicated gallery (the §5.7 blockwise layout)
+    and XLA reduces the partial histograms over ICI.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = ("feats", topk, separate_camera_set, first_match_break)
+    if key not in _JAX_KERNELS:
+        _JAX_KERNELS[key] = jax.jit(_chunk_stats_feats_jax(*key[1:]))
+    kernel = _JAX_KERNELS[key]
+
+    qf = np.asarray(query_feats, np.float32)
+    m = qf.shape[0]
+    n = gallery_feats.shape[0]
+    query_ids, gallery_ids, query_cams, gallery_cams = _default_ids_cams(
+        m, n, query_ids, gallery_ids, query_cams, gallery_cams)
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+
+        rep = replicated_sharding(mesh)
+        row = batch_sharding(mesh, 2)
+        row1 = batch_sharding(mesh, 1)
+        gf = jax.device_put(np.asarray(gallery_feats, np.float32), rep)
+        gids = jax.device_put(np.asarray(gallery_ids, np.int32), rep)
+        gcams = jax.device_put(np.asarray(gallery_cams, np.int32), rep)
+    else:
+        gf = jnp.asarray(gallery_feats, jnp.float32)
+        gids = jnp.asarray(gallery_ids, jnp.int32)
+        gcams = jnp.asarray(gallery_cams, jnp.int32)
+    ret = np.zeros(topk)
+    ap_sum, valid_q = 0.0, 0
+    pending = []
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        q = qf[s:e]
+        qid = np.asarray(query_ids[s:e], np.int32)
+        qcam = np.asarray(query_cams[s:e], np.int32)
+        if e - s < chunk:      # pad to the static chunk shape
+            pad = chunk - (e - s)
+            q = np.pad(q, ((0, pad), (0, 0)))
+            # int32 min can never be a real gallery id/cam → padded rows
+            # have zero matches and drop out via the has-mask
+            sentinel = np.iinfo(np.int32).min
+            qid = np.pad(qid, (0, pad), constant_values=sentinel)
+            qcam = np.pad(qcam, (0, pad), constant_values=sentinel)
+        if mesh is not None:
+            q = jax.device_put(q, row)
+            qid = jax.device_put(qid, row1)
+            qcam = jax.device_put(qcam, row1)
+        else:
+            q, qid, qcam = jnp.asarray(q), jnp.asarray(qid), jnp.asarray(qcam)
+        # async dispatch; each chunk returns only (topk,) + 2 scalars
+        pending.append(kernel(q, gf, qid, qcam, gids, gcams))
+    for hist, ap, nv in pending:
+        ret += np.asarray(hist, np.float64)
+        ap_sum += float(ap)
+        valid_q += int(nv)
+    if valid_q == 0:
+        raise RuntimeError("No valid query")
+    return ret.cumsum() / valid_q, ap_sum / valid_q
+
+
 def _rank_metrics_jax(distmat, query_ids, gallery_ids, query_cams,
                       gallery_cams, topk, separate_camera_set,
                       first_match_break, chunk=1024):

@@ -38,3 +38,28 @@ def test_fdgan_train_debug(tmp_path):
     for net in ("E", "G", "Di", "Dp"):
         assert (tmp_path / "ckpt" / "experiment" /
                 f"latest_net_{net}.msgpack").exists()
+
+
+def test_fdgan_train_stage2_periodic_eval(tmp_path):
+    """Stage≠1 runs the CascadeEvaluator every eval_step epochs with best-net
+    saving — the intended semantics of FD/train.py:96-103 (shipped broken by
+    its undefined val_loader)."""
+    from reid_gan_tpu.cli.fdgan_train import main
+
+    state = main([
+        "--dataset", "synthetic", "--data-dir", str(tmp_path),
+        "--height", "64", "--width", "32",
+        "--batch-size", "4",
+        "--stage", "2", "--pose-feature-size", "32", "--noise-size", "8",
+        "--workers", "2", "--debug", "--eval-step", "1",
+        "--logs-dir", str(tmp_path / "logs"),
+        "--save-dir", str(tmp_path / "ckpt"),
+    ], mesh=False)
+    sys.stdout = sys.__stdout__
+    assert state is not None
+    log = (tmp_path / "logs" / "log.txt").read_text()
+    assert "Mean AP" in log                      # the eval hook fired
+    assert "best:" in log                        # best tracking reported
+    for net in ("E", "G", "Di", "Dp"):           # first eval is always best
+        assert (tmp_path / "ckpt" / "experiment" /
+                f"best_net_{net}.msgpack").exists()

@@ -166,3 +166,38 @@ def test_smoke_train_all_sharded_matches_single(mesh):
             np.testing.assert_allclose(np.asarray(x, np.float32),
                                        np.asarray(y, np.float32), atol=2e-3,
                                        err_msg=f"{name} diverges under mesh")
+
+
+def test_conf_weight_pose_conditioned(tmp_path):
+    """compute_conf_weight must render each sample's reconstruction from its
+    REAL pose (reference get_gan_loader passes pose_file=train_pose_dir,
+    ...infomap.py:166-186,384-428): supplying the pose annotations must
+    change the per-sample L1 ranking and hence the blocked set, vs the
+    zero-posemap fallback."""
+    from reid_gan_tpu.cli.train_gan_usl import compute_conf_weight
+    from reid_gan_tpu.config import Config
+    from reid_gan_tpu.data.datasets import create as create_dataset
+
+    rng = np.random.RandomState(0)
+    ds = create_dataset("synthetic", str(tmp_path), num_ids=8, num_cams=2,
+                        imgs_per_id=4, height=64, width=32, verbose=False)
+    cfg = Config()
+    cfg.data.gan_height, cfg.data.gan_width = GH, GW
+    cfg.data.batch_size, cfg.data.workers, cfg.data.num_instances = 8, 2, 4
+    gan = AEModel(GANConfig(model="AE", model_gen="Pose"), gan_height=GH,
+                  gan_width=GW, num_feats=32, ngf=8, num_blocks=1,
+                  reid_feat_dim=64)
+    gan_state = gan.init_state(jax.random.PRNGKey(3))
+    centers = rng.randn(8, 64).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    memory = init_memory(centers)
+    pseudo = list(ds.train)
+
+    conf_zero = compute_conf_weight(gan, gan_state, pseudo, memory, cfg,
+                                    pose_file=None)
+    conf_pose = compute_conf_weight(gan, gan_state, pseudo, memory, cfg,
+                                    pose_file=ds.train_pose_dir)
+    n = len(pseudo)
+    block = n // cfg.data.num_instances
+    assert (conf_zero == 0).sum() == block and (conf_pose == 0).sum() == block
+    assert not np.array_equal(conf_zero, conf_pose)

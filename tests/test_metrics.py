@@ -254,3 +254,50 @@ def test_sgs_with_first_match_break_rejected(rng):
     d = rng.rand(4, 6).astype(np.float32)
     with pytest.raises(ValueError, match="single_gallery_shot"):
         cmc(d, single_gallery_shot=True, first_match_break=True)
+
+
+def test_rank_metrics_features_matches_distmat_path():
+    """Device-resident eval: the fused feature→distance→rank kernel must
+    agree with the host-distmat path (both backends) — it replaces the
+    reference's host distance matrix (CC/clustercontrast/evaluators.py:71-122)
+    without changing a single number. Chunk smaller than m exercises the
+    sentinel-padded tail chunk."""
+    from reid_gan_tpu.engine.metrics import rank_metrics, rank_metrics_features
+
+    rng = np.random.RandomState(7)
+    m, n, d = 45, 91, 16
+    qf = rng.randn(m, d).astype(np.float32)
+    gf = rng.randn(n, d).astype(np.float32)
+    qids = rng.randint(0, 10, m)
+    gids = rng.randint(0, 10, n)
+    qcams = rng.randint(0, 3, m)
+    gcams = rng.randint(0, 3, n)
+    dist = (np.sum(qf * qf, 1)[:, None] + np.sum(gf * gf, 1)[None]
+            - 2.0 * qf @ gf.T)
+    curve_np, map_np = rank_metrics(dist, qids, gids, qcams, gcams, topk=15,
+                                    backend="numpy")
+    curve_f, map_f = rank_metrics_features(qf, gf, qids, gids, qcams, gcams,
+                                           topk=15, chunk=32)
+    np.testing.assert_allclose(curve_f, curve_np, atol=1e-5)
+    assert abs(map_f - map_np) < 1e-5
+
+
+def test_rank_metrics_features_sharded(mesh):
+    """The mesh path (query chunks row-sharded vs a replicated gallery,
+    partial histograms reduced by XLA) returns the single-device numbers."""
+    from reid_gan_tpu.engine.metrics import rank_metrics_features
+
+    rng = np.random.RandomState(8)
+    m, n, d = 40, 64, 8
+    qf = rng.randn(m, d).astype(np.float32)
+    gf = rng.randn(n, d).astype(np.float32)
+    qids = rng.randint(0, 6, m)
+    gids = rng.randint(0, 6, n)
+    qcams = rng.randint(0, 2, m)
+    gcams = rng.randint(0, 2, n)
+    curve1, map1 = rank_metrics_features(qf, gf, qids, gids, qcams, gcams,
+                                         topk=10, chunk=16)
+    curve8, map8 = rank_metrics_features(qf, gf, qids, gids, qcams, gcams,
+                                         topk=10, chunk=16, mesh=mesh)
+    np.testing.assert_allclose(curve8, curve1, atol=1e-5)
+    assert abs(map8 - map1) < 1e-6
