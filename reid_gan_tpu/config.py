@@ -117,6 +117,16 @@ class GANConfig:
     which_epoch: str = "latest"
     display_freq: int = 100      # iters between visual dumps (FD/train.py:81)
     # joint-training flags (TrainOptions:57-78)
+    #
+    # Gating semantics chosen here (the reference never defined the
+    # warmup_epo x cluster_with_gan_features interaction — its conf-weight
+    # call is commented out, ...infomap.py:431-436): epochs <= warmup_epo
+    # run encoder-only `train_reid` with the plain reid loader; the GAN
+    # (and, when cluster_with_gan_features is set, the pose-conditioned
+    # confidence weights of compute_conf_weight) joins only at epoch >
+    # warmup_epo, once pseudo-labels have stabilized. Confidence weights
+    # are therefore never computed from an untrained generator during the
+    # warmup window (cli/train_gan_usl.py mode dispatch).
     warmup_epo: int = 0
     gan_train: bool = True
     bipath: bool = False

@@ -180,6 +180,84 @@ class Preprocessor:
     def __len__(self):
         return len(self.dataset)
 
+    # ------------------------------------------------------------- packed
+    # Vectorized batch assembly: with the decode cache warm, per-item Python
+    # (dict building, np.stack collate) dominates the host loader — measured
+    # on this 1-core host at ~1,650 img/s cached vs ~1,000 streaming
+    # (scripts/bench_loader_scaling.py). Packing the decoded set into ONE
+    # contiguous uint8 array turns a batch into a single numpy gather, so
+    # the cached loader outruns the device train step (VERDICT r3 #3).
+
+    def batchable(self):
+        """True when get_batch() can serve this mode (reid / with_gan /
+        only_gan — the modes whose per-item work is pure decode + metadata)
+        within the cache budget."""
+        if self.mode not in ("reid", "with_gan", "only_gan"):
+            return False
+        if type(self).__getitem__ is not Preprocessor.__getitem__:
+            return False          # subclass hooks must not be bypassed
+        budget = getattr(self.cache, "budget", 0)
+        need = 0
+        if self.mode in ("reid", "with_gan"):
+            need += len(self.dataset) * self.height * self.width * 3
+        if self.mode in ("with_gan", "only_gan"):
+            need += len(self.dataset) * self.gan_height * self.gan_width * 3
+        return need <= budget
+
+    def _pack(self):
+        """Decode the whole dataset once (thread pool — PIL drops the GIL)
+        into contiguous (N, H, W, 3) uint8 arrays + metadata arrays."""
+        n = len(self.dataset)
+        fnames = [self.dataset[i][0] for i in range(n)]
+        packed = {"fname": fnames,
+                  "pid": np.asarray([self.dataset[i][1] for i in range(n)]),
+                  "camid": np.asarray([self.dataset[i][2] for i in range(n)])}
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            # route through the shared cache: a warm cache turns repacking
+            # (the train loader is rebuilt every epoch) into pure memcpy
+            if self.mode in ("reid", "with_gan"):
+                out = list(pool.map(
+                    lambda f: self._read(self._path(f), self.height,
+                                         self.width), fnames))
+                packed["img"] = np.stack([a for a, _ in out])
+            if self.mode in ("with_gan", "only_gan"):
+                out = list(pool.map(
+                    lambda f: self._read(self._path(f), self.gan_height,
+                                         self.gan_width), fnames))
+                packed["Xs"] = np.stack([a for a, _ in out])
+                packed["old_size"] = np.stack([s for _, s in out])
+                packed["Xs_path"] = [osp.basename(f) for f in fnames]
+                packed["gt_label"] = np.asarray(
+                    [int(osp.basename(f).split("_", 1)[0]) for f in fnames])
+                kp = np.full((n, NUM_KEYPOINTS, 2), -1, np.float32)
+                if self.annotations is not None:
+                    for i, f in enumerate(fnames):
+                        base = osp.basename(f)
+                        if base in self.annotations:
+                            kp[i] = self.annotations[base]
+                packed["keypoints"] = kp
+        self._packed = packed
+
+    def get_batch(self, indices):
+        """Collated batch dict via vectorized gathers (one fancy-index per
+        field). Field-for-field identical to the per-item path."""
+        if getattr(self, "_packed", None) is None:
+            self._pack()
+        p = self._packed
+        idx = np.asarray(indices)
+        flips = (self.rng.rand(len(idx)) < 0.5 if self.flip_all
+                 else np.zeros(len(idx), bool))
+        out = {"pid": p["pid"][idx], "index": idx}
+        if self.mode in ("reid", "with_gan"):
+            out.update(img=p["img"][idx], camid=p["camid"][idx],
+                       fname=[p["fname"][i] for i in idx], flip=flips)
+        if self.mode in ("with_gan", "only_gan"):
+            out.update(Xs=p["Xs"][idx], old_size=p["old_size"][idx],
+                       keypoints=p["keypoints"][idx],
+                       gt_label=p["gt_label"][idx], gan_flip=flips,
+                       Xs_path=[p["Xs_path"][i] for i in idx])
+        return out
+
     def _path(self, fname):
         return osp.join(self.root, fname) if self.root is not None else fname
 
@@ -330,13 +408,18 @@ class DataLoader:
                     continue
             return False
 
+        packed = getattr(self.pre, "batchable", lambda: False)()
+
         def produce():
             try:
                 for b in batches:
                     if stop.is_set():
                         return
-                    items = list(pool.map(self.pre.__getitem__, b))
-                    if not _put(_collate(items)):
+                    if packed:
+                        batch = self.pre.get_batch(b)
+                    else:
+                        batch = _collate(list(pool.map(self.pre.__getitem__, b)))
+                    if not _put(batch):
                         return
             except BaseException as exc:  # re-raised in the consumer
                 _put(_WorkerFailure(exc))

@@ -219,3 +219,40 @@ def test_loader_uses_shared_cache(dataset):
     n2 = sum(len(b["pid"]) for b in loader)
     assert n1 == n2 == len(dataset.train)
     assert cache.used == used_after_first  # epoch 2 inserted nothing new
+
+
+def test_packed_batch_matches_per_item(tmp_path):
+    """The vectorized packed-batch path must be field-for-field identical to
+    the per-item collate path (flip draws excepted — both are fresh RNG)."""
+    from reid_gan_tpu.data.loader import ImageCache, Preprocessor, _collate
+
+    ds = create("synthetic", str(tmp_path), num_ids=8, num_cams=2,
+                imgs_per_id=4, height=64, width=32)
+    train = list(ds.train)
+    idx = [3, 0, 7, 5]
+    kw = dict(mode="with_gan", height=64, width=32, gan_height=32,
+              gan_width=16, pose_file=ds.train_pose_dir)
+    packed_pre = Preprocessor(train, cache=ImageCache(1 << 30), **kw)
+    item_pre = Preprocessor(train, cache=None, **kw)
+    assert packed_pre.batchable()
+    got = packed_pre.get_batch(idx)
+    want = _collate([item_pre[i] for i in idx])
+    assert set(got) == set(want)
+    for key in want:
+        if key in ("flip", "gan_flip"):
+            continue
+        if isinstance(want[key], list):
+            assert got[key] == want[key], key
+        else:
+            np.testing.assert_array_equal(got[key], want[key], err_msg=key)
+
+
+def test_packed_batch_respects_cache_budget(tmp_path):
+    """Over-budget datasets must fall back to per-item streaming."""
+    from reid_gan_tpu.data.loader import ImageCache, Preprocessor
+
+    ds = create("synthetic", str(tmp_path), num_ids=8, num_cams=2,
+                imgs_per_id=4, height=64, width=32)
+    pre = Preprocessor(list(ds.train), mode="reid", height=64, width=32,
+                       cache=ImageCache(budget_bytes=100))
+    assert not pre.batchable()
