@@ -199,11 +199,16 @@ def bench_joint_gan_train(batch=256, height=256, width=128, gh=128, gw=64,
     return batch * iters / dt, flops
 
 
-def bench_loader(batch=64, num_workers=4, iters=40):
+def bench_loader(batch=64, num_workers=4, iters=40, root=None):
     """Host data-loader throughput (img/s decoded + collated + staged) at the
     production worker count, on Market-sized JPEGs in the joint-training
     'with_gan' mode (reid decode + GAN resize + keypoints). This closes the
-    end-to-end claim: epoch rate = min(host staging, device step)."""
+    end-to-end claim: epoch rate = min(host staging, device step).
+
+    ``root``: reuse an existing dataset directory (so repeated calls share
+    the process-wide decode cache — scripts/bench_loader_scaling.py measures
+    cold vs warm this way); default builds a throwaway synthetic set."""
+    import contextlib
     import tempfile
 
     from reid_gan_tpu.data import IterLoader
@@ -211,7 +216,9 @@ def bench_loader(batch=64, num_workers=4, iters=40):
     from reid_gan_tpu.data.loader import DataLoader, Preprocessor
     from reid_gan_tpu.data.sampler import RandomMultipleGallerySampler
 
-    with tempfile.TemporaryDirectory() as root:
+    ctx = (tempfile.TemporaryDirectory() if root is None
+           else contextlib.nullcontext(root))
+    with ctx as root:
         ds = create_dataset("synthetic", root, num_ids=64, num_cams=3,
                             imgs_per_id=8, height=128, width=64)
         pre = Preprocessor(list(ds.train), mode="with_gan", height=256,

@@ -36,9 +36,11 @@ from ..utils.visualizer import Visualizer
 
 
 def _make_evaluator(cfg, state, depth, mesh):
-    """CascadeEvaluator over the CURRENT net_E (base features + verifier
-    re-scoring), mirroring FD/train.py:55-58's evaluator built from
-    model.net_E's base_model/embed_model halves."""
+    """CascadeEvaluator over net_E (base features + verifier re-scoring),
+    mirroring FD/train.py:55-58's evaluator built from model.net_E's
+    base_model/embed_model halves. Built ONCE per run — both stages are
+    jitted with variables as traced arguments, so later evals swap weights
+    via set_variables() with no recompilation."""
     nfeat = 2048 if depth >= 50 else 512
     base = FDResNet(depth=depth, cut_at_pooling=True)
     embed = EltwiseSubEmbed(nonlinearity="square", use_batch_norm=True,
@@ -52,6 +54,15 @@ def _make_evaluator(cfg, state, depth, mesh):
     return CascadeEvaluator(ex, embed,
                             state.E["params"]["embed_model"],
                             state.E["batch_stats"]["embed_model"])
+
+
+def _sync_evaluator(evaluator, state):
+    """Point the shared evaluator at the current net_E weights."""
+    evaluator.set_variables(
+        {"params": state.E["params"]["base_model"],
+         "batch_stats": state.E["batch_stats"]["base_model"]},
+        state.E["params"]["embed_model"],
+        state.E["batch_stats"]["embed_model"])
 
 
 def main(argv=None, mesh=None):
@@ -87,9 +98,10 @@ def main(argv=None, mesh=None):
     # stage≠1: periodic re-ID validation with best tracking (the intent of
     # FD/train.py:96-103 — its shipped val_loader is an undefined name).
     # Datasets without a val split (dir-style) validate on query/gallery.
-    val_query = val_gallery = val_loader = None
+    val_query = val_gallery = val_loader = evaluator = None
     best_mAP = 0.0
     if cfg.fdgan.stage != 1:
+        evaluator = _make_evaluator(cfg, state, depth, mesh)
         val = list(getattr(dataset, "val", None) or [])
         val_query = val_gallery = val
         if not val:
@@ -100,10 +112,18 @@ def main(argv=None, mesh=None):
         val_loader = DataLoader(val_pre, batch_size=cfg.data.batch_size,
                                 drop_last=False, num_workers=cfg.data.workers)
         if not cfg.train.debug:
-            print("Test with baseline model:")   # FD/train.py:60-64
-            _make_evaluator(cfg, state, depth, mesh).evaluate(
-                val_loader, val_query, val_gallery,
-                rerank_topk=min(75, len(val_gallery) - 1),
+            # baseline test runs on the TEST split, like the reference's
+            # test_loader pass (FD/train.py:60-64 evaluates
+            # dataset.query/dataset.gallery before training starts)
+            print("Test with baseline model:")
+            test_pre = Preprocessor(list(dataset.query) + list(dataset.gallery),
+                                    mode="reid", height=h, width=w)
+            test_loader = DataLoader(test_pre, batch_size=cfg.data.batch_size,
+                                     drop_last=False,
+                                     num_workers=cfg.data.workers)
+            evaluator.evaluate(
+                test_loader, list(dataset.query), list(dataset.gallery),
+                rerank_topk=min(75, len(dataset.gallery) - 1),
                 dataset=cfg.data.dataset)
 
     epochs = 1 if cfg.train.debug else cfg.fdgan.niter + cfg.fdgan.niter_decay
@@ -152,8 +172,10 @@ def main(argv=None, mesh=None):
             save_networks({"E": state.E, "G": state.G, "Di": state.Di,
                            "Dp": state.Dp}, save_dir, "latest")
         if val_loader is not None and (epoch + 1) % cfg.fdgan.eval_step == 0:
-            # periodic val eval + best tracking (FD/train.py:96-103 intent)
-            mAP = _make_evaluator(cfg, state, depth, mesh).evaluate(
+            # periodic val eval + best tracking (FD/train.py:96-103 intent);
+            # same evaluator object — no re-jit, just fresh weights
+            _sync_evaluator(evaluator, state)
+            mAP = evaluator.evaluate(
                 val_loader, val_query, val_gallery,
                 rerank_topk=min(75, len(val_gallery) - 1), top1=False)
             is_best = mAP > best_mAP
@@ -173,7 +195,8 @@ def main(argv=None, mesh=None):
                                 mode="reid", height=h, width=w)
         test_loader = DataLoader(test_pre, batch_size=cfg.data.batch_size,
                                  drop_last=False, num_workers=cfg.data.workers)
-        _make_evaluator(cfg, state, depth, mesh).evaluate(
+        _sync_evaluator(evaluator, state)
+        evaluator.evaluate(
             test_loader, list(dataset.query), list(dataset.gallery),
             rerank_topk=min(100, len(dataset.gallery) - 1),
             dataset=cfg.data.dataset)

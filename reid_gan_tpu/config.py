@@ -120,13 +120,13 @@ class GANConfig:
     #
     # Gating semantics chosen here (the reference never defined the
     # warmup_epo x cluster_with_gan_features interaction — its conf-weight
-    # call is commented out, ...infomap.py:431-436): epochs <= warmup_epo
+    # call is commented out, ...infomap.py:431-436): epochs < warmup_epo
     # run encoder-only `train_reid` with the plain reid loader; the GAN
-    # (and, when cluster_with_gan_features is set, the pose-conditioned
-    # confidence weights of compute_conf_weight) joins only at epoch >
-    # warmup_epo, once pseudo-labels have stabilized. Confidence weights
-    # are therefore never computed from an untrained generator during the
-    # warmup window (cli/train_gan_usl.py mode dispatch).
+    # joins at epoch >= warmup_epo ((epoch+1) > warmup_epo in the
+    # cli/train_gan_usl.py mode dispatch), and the pose-conditioned
+    # confidence weights of compute_conf_weight join ONE epoch later
+    # (epoch > warmup_epo) — deliberately offset so weights are never
+    # computed from a generator that has not yet taken a training step.
     warmup_epo: int = 0
     gan_train: bool = True
     bipath: bool = False

@@ -191,7 +191,14 @@ class Preprocessor:
     def batchable(self):
         """True when get_batch() can serve this mode (reid / with_gan /
         only_gan — the modes whose per-item work is pure decode + metadata)
-        within the cache budget."""
+        within the cache budget.
+
+        RAM accounting: _pack() routes decodes through the shared cache (so
+        per-epoch loader rebuilds repack via memcpy) AND keeps its own packed
+        contiguous copy, i.e. the dataset is resident twice. The gate therefore
+        requires 2*need <= budget so REID_IMAGE_CACHE_MB stays an honest bound
+        on total host RAM; datasets between budget/2 and budget fall back to
+        the per-item cached path (one resident copy)."""
         if self.mode not in ("reid", "with_gan", "only_gan"):
             return False
         if type(self).__getitem__ is not Preprocessor.__getitem__:
@@ -202,7 +209,7 @@ class Preprocessor:
             need += len(self.dataset) * self.height * self.width * 3
         if self.mode in ("with_gan", "only_gan"):
             need += len(self.dataset) * self.gan_height * self.gan_width * 3
-        return need <= budget
+        return 2 * need <= budget
 
     def _pack(self):
         """Decode the whole dataset once (thread pool — PIL drops the GIL)
@@ -245,7 +252,10 @@ class Preprocessor:
             self._pack()
         p = self._packed
         idx = np.asarray(indices)
-        flips = (self.rng.rand(len(idx)) < 0.5 if self.flip_all
+        # only_gan matches the per-item path's hard-coded flip=False
+        # (__getitem__ → _gan_item(index, flip=False))
+        flips = (self.rng.rand(len(idx)) < 0.5
+                 if self.flip_all and self.mode != "only_gan"
                  else np.zeros(len(idx), bool))
         out = {"pid": p["pid"][idx], "index": idx}
         if self.mode in ("reid", "with_gan"):

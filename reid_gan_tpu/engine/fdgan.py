@@ -225,6 +225,14 @@ class CascadeEvaluator:
 
         self._embed = _embed
 
+    def set_variables(self, extractor_variables, embed_params,
+                      embed_batch_stats):
+        """Swap in fresh net weights without re-jitting either stage (both
+        jitted programs take variables as traced arguments)."""
+        self.extractor.variables = extractor_variables
+        self.embed_vars = {"params": embed_params,
+                           "batch_stats": embed_batch_stats}
+
     def evaluate(self, data_loader, query, gallery, rerank_topk=75,
                  second_stage=True, dataset=None, top1=True):
         features, _ = _extract(self.extractor, data_loader, print_freq=1 << 30)

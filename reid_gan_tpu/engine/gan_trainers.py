@@ -199,10 +199,27 @@ class ClusterContrastWithGANTrainer:
             g_bs = jax.lax.stop_gradient(g_bs)
             fake0 = jax.lax.stop_gradient(fake)
 
-            # --- D step (trainers_b.py:764-767)
+            # --- joint G + encoder head FIRST (the reference computes
+            #     get_loss_G and loss_cl BEFORE backward_D,
+            #     trainers_b.py:704-760, with net_D frozen — so loss_G's
+            #     value AND pullback use the PRE-update discriminator, whose
+            #     train-mode spectral power iteration persists into the D
+            #     step's stats; proven against a torch transcription at fp64
+            #     by tests/test_joint_parity_oracle.py)
+            def head_fn(f_out_in, fake_in):
+                loss_G, d_bs0 = gan.get_loss_G_train(state.gan.D, fake_in, xs)
+                losses_cl, _ = memory_loss(f_out_in, targets, state.memory,
+                                           temp=self.temp)
+                loss_cl = (losses_cl * conf_mask).mean()
+                return loss_cl + loss_G, (loss_cl, loss_G, d_bs0)
+
+            (loss, head_vjp, (loss_cl, loss_G, d_bs0)) = jax.vjp(
+                head_fn, f_out, fake, has_aux=True)
+
+            # --- D step (trainers_b.py:764-767) on detached fake, starting
+            #     from the G-forward's persisted spectral u/sigma
             def d_loss_fn(d_params):
-                return gan.d_loss(d_params, state.gan.D["batch_stats"], xs,
-                                  fake0, k_d)
+                return gan.d_loss(d_params, d_bs0, xs, fake0, k_d)
 
             (loss_D, d_bs), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state.gan.D["params"])
@@ -211,17 +228,7 @@ class ClusterContrastWithGANTrainer:
             d_params = optax.apply_updates(state.gan.D["params"], d_updates)
             D_new = {"params": d_params, "batch_stats": d_bs}
 
-            # --- joint G + encoder cotangents (trainers_b.py:769-774);
-            #     loss_G is scored against the UPDATED discriminator
-            def head_fn(f_out_in, fake_in):
-                loss_G = gan.get_loss_G(D_new, fake_in, xs)
-                losses_cl, _ = memory_loss(f_out_in, targets, state.memory,
-                                           temp=self.temp)
-                loss_cl = (losses_cl * conf_mask).mean()
-                return loss_cl + loss_G, (loss_cl, loss_G)
-
-            (loss, head_vjp, (loss_cl, loss_G)) = jax.vjp(
-                head_fn, f_out, fake, has_aux=True)
+            # --- joint cotangents (trainers_b.py:769-774 loss.backward())
             df_out, dfake = head_vjp(jnp.ones_like(loss))
             (enc_grads,) = enc_vjp((df_out, jnp.zeros_like(f_gan)))
             (g_grads,) = g_vjp(dfake)
@@ -322,17 +329,36 @@ class ClusterContrastWithGANTrainer:
                 G = {"params": g_params,
                      "batch_stats": state.gan.G["batch_stats"]}
                 # train-mode BN (torch default; the joint path never evals
-                # the GAN). Both renders per step see identical inputs, so
-                # taking the joint forward's stats = one update per step.
+                # the GAN) — the single render per step, whose stats and
+                # detached images feed both the joint loss and the D step
                 return gan.synthesize_p(G, fmap, ps, train=True, mutable=True)
 
-            fake0 = jax.lax.stop_gradient(render_from_clusters(
-                state.gan.G["params"], gmem.clusters)[0])
+            # joint loss FIRST, against the PRE-update frozen D (reference
+            # house pattern — get_loss_G precedes backward_D in every
+            # trainers_b joint mode); the D step then trains on the detached
+            # render from this same single G forward
+            def joint_loss_fn(packed):
+                enc_params, g_params, clusters = packed
+                f_out, _, bs = self._enc(enc_params, state.enc_batch_stats,
+                                         x, True)
+                fake, g_bs = render_from_clusters(g_params, clusters)
+                loss_G, d_bs0 = gan.get_loss_G_train(state.gan.D, fake, xs)
+                loss_cl, _ = gradient_memory_loss(
+                    f_out, targets, gmem._replace(clusters=clusters),
+                    temp=self.temp)
+                return loss_cl + loss_G, (bs, jax.lax.stop_gradient(g_bs),
+                                          jax.lax.stop_gradient(fake),
+                                          d_bs0, loss_cl, loss_G)
 
-            # D step on detached fake
+            (loss, (bs, g_bs, fake0, d_bs0, loss_cl, loss_G)), grads = \
+                jax.value_and_grad(joint_loss_fn, has_aux=True)(
+                    (state.enc_params, state.gan.G["params"], gmem.clusters))
+            enc_grads, g_grads, cluster_grads = grads
+
+            # D step on the detached render, starting from the G-forward's
+            # persisted spectral u/sigma
             def d_loss_fn(d_params):
-                return gan.d_loss(d_params, state.gan.D["batch_stats"], xs,
-                                  fake0, k_d)
+                return gan.d_loss(d_params, d_bs0, xs, fake0, k_d)
 
             (loss_D, d_bs), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state.gan.D["params"])
@@ -340,24 +366,6 @@ class ClusterContrastWithGANTrainer:
                                                state.gan.D["params"])
             d_params = optax.apply_updates(state.gan.D["params"], d_updates)
             D_new = {"params": d_params, "batch_stats": d_bs}
-
-            # joint step: encoder + G + trainable clusters
-            def joint_loss_fn(packed):
-                enc_params, g_params, clusters = packed
-                f_out, _, bs = self._enc(enc_params, state.enc_batch_stats,
-                                         x, True)
-                fake, g_bs = render_from_clusters(g_params, clusters)
-                loss_G = gan.get_loss_G(D_new, fake, xs)
-                loss_cl, _ = gradient_memory_loss(
-                    f_out, targets, gmem._replace(clusters=clusters),
-                    temp=self.temp)
-                return loss_cl + loss_G, (bs, jax.lax.stop_gradient(g_bs),
-                                          loss_cl, loss_G)
-
-            (loss, (bs, g_bs, loss_cl, loss_G)), grads = jax.value_and_grad(
-                joint_loss_fn, has_aux=True)(
-                    (state.enc_params, state.gan.G["params"], gmem.clusters))
-            enc_grads, g_grads, cluster_grads = grads
             enc_updates, enc_opt = self.tx.update(enc_grads, state.enc_opt,
                                                   state.enc_params)
             enc_params = optax.apply_updates(state.enc_params, enc_updates)
@@ -396,23 +404,10 @@ class ClusterContrastWithGANTrainer:
             targets = batch["pid"]
             xs = gan_input_transform(batch["Xs"], self.gan.h, self.gan.w)
 
-            # train-mode BN, as everywhere in the reference joint path; the
-            # joint forward below re-runs the same (xs, params) so its stats
-            # are the step's single BN update and this render's are dropped.
-            fake0 = jax.lax.stop_gradient(
-                gan.apply_G(state.gan.G, xs, train=True, mutable=True)[0])
-
-            def d_loss_fn(d_params):
-                return gan.d_loss(d_params, state.gan.D["batch_stats"], xs,
-                                  fake0, k_d)
-
-            (loss_D, d_bs), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(state.gan.D["params"])
-            d_updates, opt_D = gan.tx_D.update(d_grads, state.gan.opt_D,
-                                               state.gan.D["params"])
-            d_params = optax.apply_updates(state.gan.D["params"], d_updates)
-            D_new = {"params": d_params, "batch_stats": d_bs}
-
+            # joint loss FIRST, against the PRE-update frozen D (the
+            # reference house pattern, trainers_b.py:861-929: get_loss_G
+            # precedes backward_D; the D step then trains on the detached
+            # fake from this same single G forward)
             def joint_loss_fn(packed):
                 enc_params, g_params = packed
                 out, mut = self.encoder.apply(
@@ -426,16 +421,29 @@ class ClusterContrastWithGANTrainer:
                 G = {"params": g_params,
                      "batch_stats": state.gan.G["batch_stats"]}
                 fake, g_bs = gan.apply_G(G, xs, train=True, mutable=True)
-                loss_G = gan.get_loss_G(D_new, fake, xs)
+                loss_G, d_bs0 = gan.get_loss_G_train(state.gan.D, fake, xs)
                 fused = f1 + f2
                 return loss_cl + loss_G, (mut["batch_stats"],
                                           jax.lax.stop_gradient(g_bs),
-                                          fused, loss_cl, loss_G)
+                                          jax.lax.stop_gradient(fake),
+                                          d_bs0, fused, loss_cl, loss_G)
 
-            (loss, (bs, g_bs, fused, loss_cl, loss_G)), grads = jax.value_and_grad(
-                joint_loss_fn, has_aux=True)(
+            (loss, (bs, g_bs, fake0, d_bs0, fused, loss_cl, loss_G)), grads = \
+                jax.value_and_grad(joint_loss_fn, has_aux=True)(
                     (state.enc_params, state.gan.G["params"]))
             enc_grads, g_grads = grads
+
+            # D step on the detached fake, starting from the G-forward's
+            # persisted spectral u/sigma
+            def d_loss_fn(d_params):
+                return gan.d_loss(d_params, d_bs0, xs, fake0, k_d)
+
+            (loss_D, d_bs), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.gan.D["params"])
+            d_updates, opt_D = gan.tx_D.update(d_grads, state.gan.opt_D,
+                                               state.gan.D["params"])
+            d_params = optax.apply_updates(state.gan.D["params"], d_updates)
+            D_new = {"params": d_params, "batch_stats": d_bs}
             enc_updates, enc_opt = self.tx.update(enc_grads, state.enc_opt,
                                                   state.enc_params)
             enc_params = optax.apply_updates(state.enc_params, enc_updates)

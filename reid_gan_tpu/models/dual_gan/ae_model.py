@@ -259,6 +259,30 @@ class AEModel:
             loss = loss + loss_style + loss_content
         return loss
 
+    def get_loss_G_train(self, D, fake, target):
+        """get_loss_G with the reference joint step's EXACT discriminator
+        semantics (trainers_b.py:704 get_loss_G runs BEFORE backward_D /
+        optimizer_D.step, with net_D frozen by backward_G_basic,
+        AE_model.py:316-337): the G-loss value AND its pullback use the
+        PRE-update D, and because torch spectral-norm hooks power-iterate in
+        train mode even on a frozen net, the forward's updated u/sigma
+        persist — they are returned here (stop-gradient) so the subsequent
+        D step starts from them, matching torch's u-state ordering."""
+        cfg = self.cfg
+        pred_fake, d_bs = self.apply_D(D, fake, train=True, mutable=True)
+        loss_ad = gan_loss(pred_fake, True, False, self.gan_mode) * cfg.lambda_g
+        loss_app = jnp.abs(fake - target) * cfg.lambda_rec
+        per_sample = loss_app.reshape(loss_app.shape[0], -1).mean(axis=-1)
+        if loss_ad.ndim > 0:
+            per_sample = per_sample + loss_ad.reshape(loss_ad.shape[0], -1).mean(-1)
+            loss = per_sample.mean()
+        else:
+            loss = per_sample.mean() + loss_ad
+        if self.use_vgg:
+            content, style = self.vgg(fake, target)
+            loss = loss + style * cfg.lambda_style + content * cfg.lambda_content
+        return loss, jax.lax.stop_gradient(d_bs)
+
     def get_L1_loss(self, D, fake, target, with_dis=False):
         """Per-sample reconstruction loss for confidence weights
         (AE_model.py:378-390)."""

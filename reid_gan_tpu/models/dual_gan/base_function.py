@@ -443,8 +443,9 @@ class Output(nn.Module):
                          padding=0, use_spect=self.use_spect,
                          use_coord=self.use_coord, dtype=self.dtype,
                          name="conv1")(y, train)
-        # generated images leave the net in fp32 regardless of compute dtype
-        return jnp.tanh(y).astype(jnp.float32)
+        # generated images leave the net in ≥fp32 (bf16 compute upcasts;
+        # the fp64 torch-parity oracle passes through untouched)
+        return jnp.tanh(y).astype(jnp.promote_types(y.dtype, jnp.float32))
 
 
 class AutoAttn(nn.Module):

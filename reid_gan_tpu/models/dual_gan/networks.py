@@ -248,7 +248,7 @@ class FDGenerator(nn.Module):
         y = nn.ConvTranspose(self.output_nc, (4, 4), (2, 2), padding="SAME",
                              use_bias=False, kernel_init=orth_init,
                              dtype=self.dtype, name="de_conv1_conv")(y)
-        return jnp.tanh(y).astype(jnp.float32)
+        return jnp.tanh(y).astype(jnp.promote_types(y.dtype, jnp.float32))
 
 
 class PoseGenerator1(nn.Module):
@@ -455,10 +455,10 @@ class ResDiscriminator(nn.Module):
                                   dtype=self.dtype,
                                   name=f"encoder{i}")(out, train)
         out = get_nonlinearity(self.activation)(out)
-        # D scores leave in fp32 so the GAN losses accumulate full-precision
-        return SpectralConv(1, (1, 1), padding=0, use_spect=True,
-                            dtype=self.dtype,
-                            name="conv")(out, train).astype(jnp.float32)
+        # D scores leave in ≥fp32 so the GAN losses accumulate full-precision
+        sc = SpectralConv(1, (1, 1), padding=0, use_spect=True,
+                          dtype=self.dtype, name="conv")(out, train)
+        return sc.astype(jnp.promote_types(sc.dtype, jnp.float32))
 
 
 def define_G(model_gen="AE", image_nc=3, pose_nc=18, ngf=64, img_f=256,

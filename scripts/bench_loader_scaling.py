@@ -20,23 +20,28 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 def main():
     os.environ.setdefault("JAX_PLATFORMS", "cpu")   # host-only measurement
+    import tempfile
+
     import bench
     from reid_gan_tpu.data import loader as loader_mod
 
-    results = {"cached": {}, "streaming": {}}
-    for workers in (1, 2, 4, 8):
-        # fresh process-wide cache per mode so "cached" is warm-only and
-        # "streaming" never hits
-        loader_mod._default_cache = loader_mod.ImageCache(4 << 30)
-        warm = bench.bench_loader(num_workers=workers)   # fills the cache
-        cached = bench.bench_loader(num_workers=workers)
-        loader_mod._default_cache = loader_mod._NullCache()
-        streaming = bench.bench_loader(num_workers=workers)
-        results["cached"][workers] = round(cached, 1)
-        results["streaming"][workers] = round(streaming, 1)
-        print(f"workers={workers}: streaming {streaming:7.1f} img/s   "
-              f"cached {cached:7.1f} img/s   (cold first pass {warm:.1f})",
-              flush=True)
+    results = {"cached": {}, "cold": {}, "streaming": {}}
+    with tempfile.TemporaryDirectory() as root:
+        # ONE dataset directory for every call: the cold pass decodes it into
+        # the cache, the cached pass reuses those exact entries (keys are
+        # (fpath, h, w) — reusing `root` is what makes the second call warm)
+        for workers in (1, 2, 4, 8):
+            loader_mod._default_cache = loader_mod.ImageCache(4 << 30)
+            cold = bench.bench_loader(num_workers=workers, root=root)
+            cached = bench.bench_loader(num_workers=workers, root=root)
+            loader_mod._default_cache = loader_mod._NullCache()
+            streaming = bench.bench_loader(num_workers=workers, root=root)
+            results["cached"][workers] = round(cached, 1)
+            results["cold"][workers] = round(cold, 1)
+            results["streaming"][workers] = round(streaming, 1)
+            print(f"workers={workers}: streaming {streaming:7.1f} img/s   "
+                  f"cached {cached:7.1f} img/s   (cold first epoch "
+                  f"{cold:.1f})", flush=True)
     print(json.dumps(results))
 
 

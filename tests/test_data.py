@@ -256,3 +256,29 @@ def test_packed_batch_respects_cache_budget(tmp_path):
     pre = Preprocessor(list(ds.train), mode="reid", height=64, width=32,
                        cache=ImageCache(budget_bytes=100))
     assert not pre.batchable()
+
+    # packed keeps a second resident copy (cache + packed array), so the
+    # gate bills the dataset TWICE against the budget (ADVICE r4 medium):
+    # budget in [need, 2*need) must stream, >= 2*need may pack
+    need = len(ds.train) * 64 * 32 * 3
+    mid = Preprocessor(list(ds.train), mode="reid", height=64, width=32,
+                       cache=ImageCache(budget_bytes=need + need // 2))
+    assert not mid.batchable()
+    big = Preprocessor(list(ds.train), mode="reid", height=64, width=32,
+                       cache=ImageCache(budget_bytes=4 * need))
+    assert big.batchable()
+
+
+def test_packed_only_gan_flips_match_per_item(tmp_path):
+    """only_gan + flip_all: get_batch must mirror the per-item path's
+    hard-coded flip=False (ADVICE r4 low #2)."""
+    from reid_gan_tpu.data.loader import ImageCache, Preprocessor
+
+    ds = create("synthetic", str(tmp_path), num_ids=4, num_cams=2,
+                imgs_per_id=2, height=64, width=32)
+    pre = Preprocessor(list(ds.train), mode="only_gan", gan_height=32,
+                       gan_width=16, flip_all=True, cache=ImageCache(1 << 30))
+    assert pre.batchable()
+    got = pre.get_batch([0, 1, 2, 3])
+    assert not got["gan_flip"].any()
+    assert not pre[0]["gan_flip"]

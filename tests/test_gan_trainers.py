@@ -173,17 +173,8 @@ def test_train_all_vjp_equals_double_forward():
         fake0 = jax.lax.stop_gradient(gan.synthesize_p(
             state.gan.G, f_gan0, ps, train=True, mutable=True)[0])
 
-        def d_loss_fn(d_params):
-            return gan.d_loss(d_params, state.gan.D["batch_stats"], xs,
-                              fake0, k_d)
-
-        (loss_D, d_bs), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.gan.D["params"])
-        d_updates, opt_D = gan.tx_D.update(d_grads, state.gan.opt_D,
-                                           state.gan.D["params"])
-        d_params = optax.apply_updates(state.gan.D["params"], d_updates)
-        D_new = {"params": d_params, "batch_stats": d_bs}
-
+        # joint loss against the PRE-update frozen D (the r5 reference-order
+        # semantics: get_loss_G precedes backward_D, trainers_b.py:704-767)
         def joint_loss_fn(packed):
             enc_params, g_params = packed
             f_out, f_gan, bs = trainer._enc(enc_params, state.enc_batch_stats,
@@ -192,15 +183,26 @@ def test_train_all_vjp_equals_double_forward():
                  "batch_stats": state.gan.G["batch_stats"]}
             fake, _ = gan.synthesize_p(G, jax.lax.stop_gradient(f_gan), ps,
                                        train=True, mutable=True)
-            loss_G = gan.get_loss_G(D_new, fake, xs)
+            loss_G, d_bs0 = gan.get_loss_G_train(state.gan.D, fake, xs)
             losses_cl, _ = memory_loss(f_out, targets, state.memory,
                                        temp=trainer.temp)
             loss_cl = (losses_cl * conf_mask).mean()
-            return loss_cl + loss_G, None
+            return loss_cl + loss_G, d_bs0
 
-        (_, _), (enc_grads, g_grads) = jax.value_and_grad(
+        (_, d_bs0), (enc_grads, g_grads) = jax.value_and_grad(
             joint_loss_fn, has_aux=True)(
                 (state.enc_params, state.gan.G["params"]))
+
+        # D step on the detached fake, from the G-forward's persisted stats
+        def d_loss_fn(d_params):
+            return gan.d_loss(d_params, d_bs0, xs, fake0, k_d)
+
+        (loss_D, d_bs), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.gan.D["params"])
+        d_updates, opt_D = gan.tx_D.update(d_grads, state.gan.opt_D,
+                                           state.gan.D["params"])
+        d_params = optax.apply_updates(state.gan.D["params"], d_updates)
+
         enc_updates, _ = trainer.tx.update(enc_grads, state.enc_opt,
                                            state.enc_params)
         enc_params = optax.apply_updates(state.enc_params, enc_updates)

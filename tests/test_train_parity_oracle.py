@@ -199,6 +199,15 @@ def test_usl_train_step_matches_torch_oracle():
             c = _cosine(got, ref)
             assert c > 1.0 - 1e-9, (
                 f"grad cosine 1-{1.0 - c:.3e} at {jax.tree_util.keystr(path)}")
+            # magnitude too (VERDICT r4 weak #3): cosine alone passes under
+            # any uniform per-layer scaling; the norm ratio pins it
+            n_ref = np.linalg.norm(ref.ravel())
+            n_got = np.linalg.norm(np.asarray(got, np.float64).ravel())
+            if n_ref > 1e-30:
+                ratio = n_got / n_ref
+                assert abs(ratio - 1.0) < 1e-9, (
+                    f"grad norm ratio {ratio:.12f} at "
+                    f"{jax.tree_util.keystr(path)}")
             checked += 1
         assert checked >= 160  # resnet50: 53 convs + ~53 BN scale/bias + head
 
