@@ -593,9 +593,11 @@ class GANTrainer:
                 dev["Ps"] = np.asarray(batch["Ps"])
             if self.mesh is not None:
                 dev = shard_batch(self.mesh, dev)
-            dev["Xs"] = gan_input_transform(jnp.asarray(dev["Xs"]))
-            if "Ps" in dev:
-                dev["Ps"] = jnp.asarray(dev["Ps"])
+            else:
+                dev = {k: jnp.asarray(v) for k, v in dev.items()}
+            # uint8 staging: the resize+normalize runs fused inside the
+            # jitted GAN step (ae_model._make_step) — one device program
+            # per iteration, like every other trainer
             key = jax.random.PRNGKey(base_seed + epoch * train_iters + i)
             gan_state, errs, _ = self.gan._step(gan_state, dev, key)
             errs_buf.append(errs)

@@ -119,7 +119,7 @@ class FDGANModel:
         Di = self.net_Di.init(k2, img, img, train=False)
         G = self.net_G.init({"params": k3, "dropout": k3}, pose, feat, noise,
                             train=True)
-        Dp = self.net_Dp.init(k4, jnp.concatenate([img, pose], -1), train=True)
+        Dp = self.net_Dp.init(k4, jnp.concatenate([pose, img], -1), train=True)
         E, G, Di, Dp = self._bootstrap(E, G, Di, Dp)
 
         def g_params(E, G):
@@ -306,8 +306,12 @@ class FDGANModel:
             fake_d, _, _ = fwd_G(g_params_of(state), state.E, state.G,
                                  origin, posemap, noise, keys[1])
             fake_d = jax.lax.stop_gradient(fake_d)
-            # random D label flip: 1/10001 when smooth (model.py:94)
-            flip_d = (jax.random.uniform(keys[2], ()) < (1.0 / 10001.0)) & smooth
+            # random D label flips: 1/10001 when smooth, drawn INDEPENDENTLY
+            # per discriminator (model.py:160/177 each call
+            # random.choice(rand_list))
+            flip_di = (jax.random.uniform(keys[2], ()) < (1.0 / 10001.0)) & smooth
+            flip_dp = (jax.random.uniform(jax.random.fold_in(keys[2], 1), ())
+                       < (1.0 / 10001.0)) & smooth
 
             # --- Di step (model.py:175-186); Di BN fixed → train=False
             def di_loss_fn(di_params):
@@ -321,7 +325,7 @@ class FDGANModel:
                 lf_ = gan_loss_bce(keys[4], pred_fake, False, smooth)
                 lr_sw = gan_loss_bce(keys[3], pred_fake, True, smooth)
                 lf_sw = gan_loss_bce(keys[4], pred_real, False, smooth)
-                loss = jnp.where(flip_d, lr_sw + lf_sw, lr_ + lf_) * 0.5
+                loss = jnp.where(flip_di, lr_sw + lf_sw, lr_ + lf_) * 0.5
                 return loss
 
             loss_Di, di_grads = jax.value_and_grad(di_loss_fn)(state.Di["params"])
@@ -329,9 +333,12 @@ class FDGANModel:
                                                    state.Di["params"])
             di_params = optax.apply_updates(state.Di["params"], di_updates)
 
-            # --- Dp step (model.py:159-173); Dp full train mode
-            real_pose = jnp.concatenate([target, posemap], axis=-1)
-            fake_pose = jnp.concatenate([fake_d, posemap], axis=-1)
+            # --- Dp step (model.py:159-173); Dp full train mode. Channel
+            # order is POSEMAP FIRST (model.py:160-161 torch.cat((posemap,
+            # target/fake), dim=1)) — load-bearing for reference-checkpoint
+            # interop.
+            real_pose = jnp.concatenate([posemap, target], axis=-1)
+            fake_pose = jnp.concatenate([posemap, fake_d], axis=-1)
 
             def dp_loss_fn(dp_params):
                 dp_vars = {"params": dp_params,
@@ -346,7 +353,7 @@ class FDGANModel:
                 lf_ = gan_loss_bce(keys[6], pred_fake, False, smooth)
                 lr_sw = gan_loss_bce(keys[5], pred_fake, True, smooth)
                 lf_sw = gan_loss_bce(keys[6], pred_real, False, smooth)
-                loss = jnp.where(flip_d, lr_sw + lf_sw, lr_ + lf_) * 0.5
+                loss = jnp.where(flip_dp, lr_sw + lf_sw, lr_ + lf_) * 0.5
                 return loss, mut["batch_stats"]
 
             (loss_Dp, dp_bs), dp_grads = jax.value_and_grad(
@@ -373,9 +380,15 @@ class FDGANModel:
                 _, _, pred_fake_Di = self.net_Di.apply(
                     {"params": di_params, "batch_stats": state.Di["batch_stats"]},
                     origin, fake, train=False)
-                pred_fake_Dp = self.net_Dp.apply(
+                # Dp stays in FULL train mode for the G forward too
+                # (model.py:73-85 only BN-fixes E/Di; backward_G's
+                # net_Dp(cat((posemap, fake))) is a train-mode forward whose
+                # BN normalizes with batch stats and updates running stats a
+                # third time this step)
+                pred_fake_Dp, dp_mut = self.net_Dp.apply(
                     {"params": dp_params, "batch_stats": dp_bs},
-                    jnp.concatenate([fake, posemap], -1), train=False)
+                    jnp.concatenate([posemap, fake], -1), train=True,
+                    mutable=["batch_stats"])
                 loss_gan_di = gan_loss_bce(keys[7], pred_fake_Di, True, False)
                 loss_gan_dp = gan_loss_bce(keys[7], pred_fake_Dp, True, False)
                 loss_G = (loss_gan_di + loss_gan_dp +
@@ -384,7 +397,8 @@ class FDGANModel:
                           loss_sp * cfg.lambda_sp)
                 aux = {"G_v": loss_v, "G_r": loss_r, "G_sp": loss_sp,
                        "G_gan_Di": loss_gan_di, "G_gan_Dp": loss_gan_dp,
-                       "g_bs": g_bs, "fake": fake}
+                       "g_bs": g_bs, "fake": fake,
+                       "dp_bs": jax.lax.stop_gradient(dp_mut["batch_stats"])}
                 return loss_G, aux
 
             (loss_G, aux), g_grads = jax.value_and_grad(
@@ -398,7 +412,7 @@ class FDGANModel:
                    "batch_stats": state.E["batch_stats"]},
                 G={"params": new_g["G"], "batch_stats": aux["g_bs"]},
                 Di={"params": di_params, "batch_stats": state.Di["batch_stats"]},
-                Dp={"params": dp_params, "batch_stats": dp_bs},
+                Dp={"params": dp_params, "batch_stats": aux["dp_bs"]},
                 opt_G=opt_G, opt_Di=opt_Di, opt_Dp=opt_Dp,
                 step=state.step + 1)
             errors = {"G": loss_G, "D_i": loss_Di, "D_p": loss_Dp,

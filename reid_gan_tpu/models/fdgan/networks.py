@@ -127,7 +127,9 @@ class CustomPoseGenerator(nn.Module):
 
 
 class NLayerDiscriminator(nn.Module):
-    """3-layer PatchGAN over (image ⊕ posemap) (networks.py:194-237)."""
+    """3-layer PatchGAN over (posemap ⊕ image) — channel order per
+    FD/fdgan/model.py:160-161 torch.cat((posemap, image), dim=1)
+    (networks.py:194-237)."""
     input_nc: int = 21
     ndf: int = 64
     n_layers: int = 3

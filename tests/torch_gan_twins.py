@@ -78,7 +78,7 @@ class TConv(nn.Module):
                     self.sigma.copy_(sigma)
             w = w / torch.where(sigma != 0, sigma,
                                 torch.ones_like(sigma))
-        return F.conv2d(x, w.permute(3, 2, 0, 1), self.bias,
+        return F.conv2d(x, w.permute(3, 2, 0, 1).contiguous(), self.bias,
                         stride=self.stride, padding=self.padding)
 
     def load_flax(self, p, s=None):
@@ -120,7 +120,7 @@ class TConvTranspose(nn.Module):
         xd = x.new_zeros(n, c, 2 * h - 1, 2 * w - 1)
         xd[:, :, ::2, ::2] = x
         xp = F.pad(xd, (2, 1, 2, 1))
-        y = F.conv2d(xp, self.kernel.permute(3, 2, 0, 1))
+        y = F.conv2d(xp, self.kernel.permute(3, 2, 0, 1).contiguous())
         return y + self.bias.view(1, -1, 1, 1)
 
     def load_flax(self, p, s=None):
@@ -145,16 +145,20 @@ class TBatchNorm(nn.Module):
         self.register_buffer("mean", torch.zeros(c, dtype=torch.float64))
         self.register_buffer("var", torch.ones(c, dtype=torch.float64))
 
-    def forward(self, x):
+    def forward(self, x, train=True):
+        if self.dims == (0, 2, 3):
+            shape = (1, -1, 1, 1)
+        else:
+            shape = (1, 1, -1)
+        if not train:      # eval: normalize with the running stats
+            y = (x - self.mean.view(shape)) \
+                / torch.sqrt(self.var.view(shape) + 1e-5)
+            return y * self.scale.view(shape) + self.bias.view(shape)
         m = x.mean(dim=self.dims)
         v = x.var(dim=self.dims, unbiased=False)
         with torch.no_grad():
             self.mean.mul_(0.9).add_(0.1 * m.detach())
             self.var.mul_(0.9).add_(0.1 * v.detach())
-        if self.dims == (0, 2, 3):
-            shape = (1, -1, 1, 1)
-        else:
-            shape = (1, 1, -1)
         y = (x - m.view(shape)) / torch.sqrt(v.view(shape) + 1e-5)
         return y * self.scale.view(shape) + self.bias.view(shape)
 
@@ -411,7 +415,7 @@ class TFeatureAdaptBlock1(nn.Module):
         self.norm1 = TBatchNorm(out_c)
 
     def forward(self, x):
-        y = F.conv2d(x, self.kernel.permute(3, 2, 0, 1), self.bias)
+        y = F.conv2d(x, self.kernel.permute(3, 2, 0, 1).contiguous(), self.bias)
         return act01(self.norm1(y))
 
     def load_flax(self, p, s):
@@ -605,3 +609,225 @@ class TResDiscriminator(nn.Module):
         for i, enc in enumerate(self.encoders):
             out[f"encoder{i}"] = enc.export_stats()
         return out
+
+
+# ===========================================================================
+# FD-GAN twins (reid_gan_tpu/models/fdgan/networks.py ← FD/fdgan/networks.py)
+# ===========================================================================
+
+def act02(x):
+    return F.leaky_relu(x, 0.2)
+
+
+class TPlainConv(nn.Module):
+    """FastConv twin (flax-layout kernel, no spectral)."""
+
+    def __init__(self, in_c, out_c, k=(4, 4), stride=2, padding=1,
+                 use_bias=False):
+        super().__init__()
+        kh, kw = (k, k) if isinstance(k, int) else k
+        self.stride, self.padding = stride, padding
+        self.kernel = nn.Parameter(torch.zeros(kh, kw, in_c, out_c,
+                                               dtype=torch.float64))
+        self.bias = nn.Parameter(torch.zeros(out_c, dtype=torch.float64)) \
+            if use_bias else None
+
+    def forward(self, x):
+        return F.conv2d(x, self.kernel.permute(3, 2, 0, 1).contiguous(), self.bias,
+                        stride=self.stride, padding=self.padding)
+
+    def load_flax(self, p):
+        with torch.no_grad():
+            self.kernel.copy_(_t(p["kernel"]))
+            if self.bias is not None:
+                self.bias.copy_(_t(p["bias"]))
+
+    def grads(self):
+        out = {"kernel": self.kernel.grad}
+        if self.bias is not None:
+            out["bias"] = self.bias.grad
+        return out
+
+
+class TFDConvT(nn.Module):
+    """flax nn.ConvTranspose((4,4), (2,2), 'SAME', no bias) twin: dilate by
+    2, pad symmetrically by 2, correlate with the un-flipped kernel
+    (jax _conv_transpose_padding(k=4, s=2, SAME) → (2, 2))."""
+
+    def __init__(self, in_c, out_c):
+        super().__init__()
+        self.kernel = nn.Parameter(torch.zeros(4, 4, in_c, out_c,
+                                               dtype=torch.float64))
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        xd = x.new_zeros(n, c, 2 * h - 1, 2 * w - 1)
+        xd[:, :, ::2, ::2] = x
+        xp = F.pad(xd, (2, 2, 2, 2))
+        return F.conv2d(xp, self.kernel.permute(3, 2, 0, 1).contiguous())
+
+    def load_flax(self, p):
+        with torch.no_grad():
+            self.kernel.copy_(_t(p["kernel"]))
+
+    def grads(self):
+        return {"kernel": self.kernel.grad}
+
+
+class TFDConvTValid(nn.Module):
+    """flax nn.ConvTranspose((kh,kw), stride 1, 'VALID', no bias) twin for
+    the 1x1 fused-code input: a FULL correlation, so the kernel lands
+    spatially reversed — out[b,o,i,j] = sum_c x[b,c] * k[kh-1-i,kw-1-j,c,o]
+    (verified numerically against flax)."""
+
+    def __init__(self, in_c, out_c, k):
+        super().__init__()
+        kh, kw = k
+        self.kernel = nn.Parameter(torch.zeros(kh, kw, in_c, out_c,
+                                               dtype=torch.float64))
+
+    def forward(self, x):
+        return torch.einsum("bc,hwco->bohw", x[:, :, 0, 0],
+                            torch.flip(self.kernel, [0, 1]))
+
+    def load_flax(self, p):
+        with torch.no_grad():
+            self.kernel.copy_(_t(p["kernel"]))
+
+    def grads(self):
+        return {"kernel": self.kernel.grad}
+
+
+class TFDGen(nn.Module):
+    """CustomPoseGenerator twin (fuse_mode='cat', dropout 0): 5-layer strided
+    pose encoder → 1x1 pose code → cat(reid, pose, noise) → 5-layer
+    transposed-conv decoder with `connect_layers` U-Net skip concats."""
+
+    def __init__(self, h=64, w=32, pose_nc=18, ngf=64, pose_feature_nc=128,
+                 reid_nc=2048, noise_nc=56, connect_layers=0):
+        super().__init__()
+        self.cn = connect_layers
+        k_avg = (h // 32, w // 32)
+        self.en_conv1 = TPlainConv(pose_nc, ngf)
+        self.en_conv2_conv = TPlainConv(ngf, ngf * 2)
+        self.en_conv2_bn = TBatchNorm(ngf * 2)
+        self.en_conv3_conv = TPlainConv(ngf * 2, ngf * 4)
+        self.en_conv3_bn = TBatchNorm(ngf * 4)
+        self.en_conv4_conv = TPlainConv(ngf * 4, ngf * 8)
+        self.en_conv4_bn = TBatchNorm(ngf * 8)
+        self.en_conv5_conv = TPlainConv(ngf * 8, ngf * 8)
+        self.en_conv5_bn = TBatchNorm(ngf * 8)
+        self.en_avg_conv = TPlainConv(ngf * 8, pose_feature_nc, k=k_avg,
+                                      stride=1, padding=0)
+        self.en_avg_bn = TBatchNorm(pose_feature_nc)
+        fused = reid_nc + pose_feature_nc + noise_nc
+        self.de_avg_conv = TFDConvTValid(fused, ngf * 8, k_avg)
+        self.de_avg_bn = TBatchNorm(ngf * 8)
+        ic = [[8, 8, 4, 2, 1], [16, 8, 4, 2, 1], [16, 16, 4, 2, 1],
+              [16, 16, 8, 2, 1], [16, 16, 8, 4, 1], [16, 16, 8, 4, 2]
+              ][connect_layers]
+        self.de_conv5_conv = TFDConvT(ngf * ic[0], ngf * 8)
+        self.de_conv5_bn = TBatchNorm(ngf * 8)
+        self.de_conv4_conv = TFDConvT(ngf * ic[1], ngf * 4)
+        self.de_conv4_bn = TBatchNorm(ngf * 4)
+        self.de_conv3_conv = TFDConvT(ngf * ic[2], ngf * 2)
+        self.de_conv3_bn = TBatchNorm(ngf * 2)
+        self.de_conv2_conv = TFDConvT(ngf * ic[3], ngf)
+        self.de_conv2_bn = TBatchNorm(ngf)
+        self.de_conv1_conv = TFDConvT(ngf * ic[4], 3)
+
+    def forward(self, posemap, reid, noise):
+        p1 = self.en_conv1(posemap)
+        p2 = self.en_conv2_bn(self.en_conv2_conv(act02(p1)))
+        p3 = self.en_conv3_bn(self.en_conv3_conv(act02(p2)))
+        p4 = self.en_conv4_bn(self.en_conv4_conv(act02(p3)))
+        p5 = self.en_conv5_bn(self.en_conv5_conv(act02(p4)))
+        pose_code = self.en_avg_bn(self.en_avg_conv(act02(p5)))
+        feat = torch.cat([reid[:, :, None, None], pose_code,
+                          noise[:, :, None, None]], dim=1)
+        y = self.de_avg_bn(self.de_avg_conv(F.relu(feat)))
+        cn = self.cn
+        for name, skip in (("de_conv5", p5), ("de_conv4", p4),
+                           ("de_conv3", p3), ("de_conv2", p2)):
+            if cn > 0:
+                y = torch.cat([y, skip], dim=1)
+                cn -= 1
+            y = getattr(self, name + "_bn")(
+                getattr(self, name + "_conv")(F.relu(y)))
+        if cn > 0:
+            y = torch.cat([y, p1], dim=1)
+        return torch.tanh(self.de_conv1_conv(F.relu(y)))
+
+    _convs = ("en_conv1", "en_conv2_conv", "en_conv3_conv", "en_conv4_conv",
+              "en_conv5_conv", "en_avg_conv", "de_avg_conv", "de_conv5_conv",
+              "de_conv4_conv", "de_conv3_conv", "de_conv2_conv",
+              "de_conv1_conv")
+    _bns = ("en_conv2_bn", "en_conv3_bn", "en_conv4_bn", "en_conv5_bn",
+            "en_avg_bn", "de_avg_bn", "de_conv5_bn", "de_conv4_bn",
+            "de_conv3_bn", "de_conv2_bn")
+
+    def load_flax(self, variables):
+        p, s = variables["params"], variables.get("batch_stats", {})
+        for n in self._convs:
+            getattr(self, n).load_flax(p[n])
+        for n in self._bns:
+            getattr(self, n).load_flax(p[n], s[n])
+
+    def grads(self):
+        out = {n: getattr(self, n).grads() for n in self._convs}
+        out.update({n: getattr(self, n).grads() for n in self._bns})
+        return out
+
+
+class TNLayerD(nn.Module):
+    """NLayerDiscriminator twin (3-layer PatchGAN over posemap ⊕ image)."""
+
+    def __init__(self, input_nc=21, ndf=64):
+        super().__init__()
+        self.conv0 = TPlainConv(input_nc, ndf, use_bias=True)
+        self.conv1 = TPlainConv(ndf, ndf * 2)
+        self.bn1 = TBatchNorm(ndf * 2)
+        self.conv2 = TPlainConv(ndf * 2, ndf * 4)
+        self.bn2 = TBatchNorm(ndf * 4)
+        self.conv3 = TPlainConv(ndf * 4, ndf * 8, stride=1)
+        self.bn3 = TBatchNorm(ndf * 8)
+        self.conv_out = TPlainConv(ndf * 8, 1, stride=1, use_bias=True)
+
+    def forward(self, x, train=True):
+        y = act02(self.conv0(x))
+        y = act02(self.bn1(self.conv1(y), train))
+        y = act02(self.bn2(self.conv2(y), train))
+        y = act02(self.bn3(self.conv3(y), train))
+        return self.conv_out(y)
+
+    def load_flax(self, variables):
+        p, s = variables["params"], variables.get("batch_stats", {})
+        for i, n in enumerate(("conv0", "conv1", "conv2", "conv3")):
+            getattr(self, n).load_flax(p[f"conv{i}"])
+        for i in (1, 2, 3):
+            getattr(self, f"bn{i}").load_flax(p[f"bn{i}"], s[f"bn{i}"])
+        self.conv_out.load_flax(p["conv_out"])
+
+    def grads(self):
+        out = {f"conv{i}": getattr(self, n).grads()
+               for i, n in enumerate(("conv0", "conv1", "conv2", "conv3"))}
+        out.update({f"bn{i}": getattr(self, f"bn{i}").grads()
+                    for i in (1, 2, 3)})
+        out["conv_out"] = self.conv_out.grads()
+        return out
+
+
+def _bn_stats(mod):
+    return {"mean": mod.mean.clone(), "var": mod.var.clone()}
+
+
+def _fdgen_export_stats(self):
+    return {n: _bn_stats(getattr(self, n)) for n in TFDGen._bns}
+
+
+def _nlayerd_export_stats(self):
+    return {f"bn{i}": _bn_stats(getattr(self, f"bn{i}")) for i in (1, 2, 3)}
+
+
+TFDGen.export_stats = _fdgen_export_stats
+TNLayerD.export_stats = _nlayerd_export_stats
