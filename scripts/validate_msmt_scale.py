@@ -123,12 +123,14 @@ def main():
     bank = np.tile(centers, (k // len(centers) + 1, 1))[:k]
     bank /= np.linalg.norm(bank, axis=1, keepdims=True)
     state = MemoryState(features=jnp.asarray(bank),
-                        momentum=jnp.float32(0.1))
+                        gan_features=jnp.zeros((0, bank.shape[1]),
+                                               jnp.float32),
+                        num_valid=jnp.asarray(k, jnp.int32))
     x = jnp.asarray(feats[:256])
     tgt = jnp.asarray((np.arange(256) % k).astype(np.int32))
 
     def loss(x):
-        return memory_loss(x, tgt, state, temp=0.05)[0]
+        return memory_loss(x, tgt, state, temp=0.05)[0].mean()
 
     step = jax.jit(jax.value_and_grad(loss))
     step(x)[0].block_until_ready()        # compile
