@@ -24,6 +24,7 @@ import flax.linen as nn
 
 from ...ops.fastconv import Conv as FastConv
 import jax.numpy as jnp
+from ...ops.norm import TorchBatchNorm
 
 orth_init = nn.initializers.orthogonal()
 normal_init = nn.initializers.normal(0.02)
@@ -102,7 +103,7 @@ def make_norm(norm, name, train):
     """'batch' | 'instance' | 'none' → callable or None
     (base_function.py:38-48)."""
     if norm == "batch":
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        return TorchBatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, name=name)
     if norm == "instance":
         # InstanceNorm2d(affine=True): per-sample per-channel over H,W

@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .base_function import get_nonlinearity
+from ...ops.norm import TorchBatchNorm
 
 xavier = nn.initializers.xavier_uniform()
 
@@ -30,7 +31,7 @@ class _SeqNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.norm == "batch":
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, use_bias=self.affine,
                                 use_scale=self.affine, name="bn",
                                 axis=-1)(x)

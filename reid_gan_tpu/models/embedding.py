@@ -2,6 +2,7 @@
 
 import flax.linen as nn
 import jax.numpy as jnp
+from ..ops.norm import TorchBatchNorm
 
 
 class EltwiseSubEmbed(nn.Module):
@@ -24,7 +25,7 @@ class EltwiseSubEmbed(nn.Module):
         elif self.nonlinearity is not None:
             raise KeyError(f"Unknown nonlinearity: {self.nonlinearity}")
         if self.use_batch_norm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name="bn")(x)
         if self.use_classifier:
             x = nn.Dense(self.num_classes,

@@ -17,12 +17,13 @@ import flax.linen as nn
 
 from ...ops.fastconv import Conv as FastConv
 import jax.numpy as jnp
+from ...ops.norm import TorchBatchNorm
 
 conv_init = nn.initializers.normal(0.02)
 
 
 def _bn_gan(name, train):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+    return TorchBatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, name=name,
                         scale_init=nn.initializers.normal(0.02, dtype=jnp.float32))
 

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..ops.fastconv import Conv as FastConv
 from .pooling import build_pooling_layer
+from ..ops.norm import TorchBatchNorm
 
 conv_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
@@ -44,13 +45,13 @@ class IBN(nn.Module):
         c = x.shape[-1]
         half = c // 2
         x_in = nn.GroupNorm(num_groups=half, epsilon=1e-5, name="IN")(x[..., :half])
-        x_bn = nn.BatchNorm(use_running_average=not train, momentum=self.momentum,
+        x_bn = TorchBatchNorm(use_running_average=not train, momentum=self.momentum,
                             epsilon=1e-5, name="BN")(x[..., half:])
         return jnp.concatenate([x_in, x_bn], axis=-1)
 
 
 def _bn(name, train, momentum=0.9, dtype=None):
-    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
+    return TorchBatchNorm(use_running_average=not train, momentum=momentum,
                         epsilon=1e-5, name=name, dtype=dtype)
 
 
@@ -195,7 +196,7 @@ class ReIDResNet(nn.Module):
         else:
             z = pooled
         # feat_bn: bias frozen at zero (resnet.py:61) → scale-only BN
-        bn_x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        bn_x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, use_bias=False, name="feat_bn")(z)
 
         if not train:
@@ -236,7 +237,7 @@ class FDResNet(nn.Module):
             return y
         if self.num_features > 0:
             y = nn.Dense(self.num_features, kernel_init=conv_kaiming, name="feat")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name="feat_bn")(y)
         if self.norm:
             y = _l2n(y)

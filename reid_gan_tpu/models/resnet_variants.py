@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from .pooling import build_pooling_layer
 from .resnet import STAGES, ResNetBackbone, _l2n, conv_kaiming
+from ..ops.norm import TorchBatchNorm
 
 
 class ResNetStage(nn.Module):
@@ -73,9 +74,9 @@ class ResNetBip(nn.Module):
             return {"feat": x1}
         g1 = build_pooling_layer(self.pooling_type, name="gap1")(x1)
         g2 = build_pooling_layer(self.pooling_type, name="gap2")(x2)
-        bn_x1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        bn_x1 = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, use_bias=False, name="feat_bn1")(g1)
-        bn_x2 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        bn_x2 = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, use_bias=False, name="feat_bn2")(g2)
         if self.norm:
             bn_x1, bn_x2 = _l2n(bn_x1), _l2n(bn_x2)
@@ -113,7 +114,7 @@ class ResNetBipD(nn.Module):
         x2 = ResNetStage(self.depth, 4, 1, "layer4", dtype=self.dtype,
                          name="p2_l4")(x2, train).astype(jnp.float32)
         g1 = build_pooling_layer(self.pooling_type, name="gap")(x1)
-        bn_x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        bn_x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, use_bias=False, name="feat_bn")(g1)
         gan_feat = x2 * jnp.reciprocal(
             jnp.sqrt(jnp.sum(x2 * x2, axis=-1, keepdims=True)) + 1e-12)
@@ -136,7 +137,7 @@ class PredictorMLP(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = nn.Dense(2 * self.dim, use_bias=False, name="fc1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(y)
         y = nn.relu(y)
         return nn.Dense(self.dim, use_bias=False, name="fc2")(y)
@@ -185,7 +186,7 @@ class ResNetMP(nn.Module):
         p_p2 = pool("gpool_p2")(x_p[:, div:])
 
         def bn(name, v):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, use_bias=False, name=name)(v)
 
         x_g = bn("feat_bn_g", p_g)

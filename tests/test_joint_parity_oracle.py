@@ -368,3 +368,216 @@ def test_joint_train_all_step_matches_torch_oracle(monkeypatch):
                                rtol=1e-9)
     _tree_allclose("post-step D spectral stats", j_d_stats,
                    twin_D.export_stats(), rtol=1e-8, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_joint_train_mode_hard_mix_matches_torch_oracle(monkeypatch):
+    """'train' mode (GAN frozen, trainers.py:52-98): hard-mix synthetic
+    negatives — AE generator encodes the gan batch, per-group hard mixing in
+    feature space (AE_model.py:274-292), decode, EVAL-MODE re-encode of the
+    synthesized images through the encoder's just-updated running stats
+    (trainers.py:66-70; this is the path that pins TorchBatchNorm's
+    torch-convention running-variance), extended logits with the -10000
+    self-mask (cm.py:158-182), encoder-only Adam step + bank fold.
+
+    Also asserts the post-step ENCODER batch-stats tree against torch's
+    running stats — byte-level proof of the running-stat convention."""
+    from test_train_parity_oracle import LR, WD
+
+    from reid_gan_tpu.engine import gan_trainers
+    from reid_gan_tpu.engine.gan_trainers import ClusterContrastWithGANTrainer
+    from reid_gan_tpu.models import create as create_model
+    from reid_gan_tpu.ops.cluster_memory import init_memory
+
+    GROUP = 4
+    LAMBDA_FUS = 0.8
+    rng = np.random.RandomState(11)
+    img_u8 = rng.randint(0, 256, (B, H, W, 3)).astype(np.uint8)
+    xs_u8 = rng.randint(0, 256, (B, GH, GW, 3)).astype(np.uint8)
+    targets = np.repeat(np.asarray([1, 4], np.int32), GROUP)
+    bank = rng.randn(K, D)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+
+    def det_reid_augment(key, img, height=H, width=W, train=True):
+        x = img.astype(jnp.float64) / 255.0
+        return (x - jnp.asarray(MEAN)) / jnp.asarray(STD)
+
+    def det_gan_input(img, height=GH, width=GW):
+        x = img.astype(jnp.float64) / 255.0
+        return (x - 0.5) / 0.5
+
+    def det_diff(gen_img, height=H, width=W):
+        # deterministic stand-in for the bicubic diff_transform: exact 2x
+        # nearest upsample + ImageNet normalize (trivially torch-replicable)
+        x = (gen_img + 1.0) / 2.0
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return (x - jnp.asarray(MEAN)) / jnp.asarray(STD)
+
+    monkeypatch.setattr(gan_trainers, "reid_augment", det_reid_augment)
+    monkeypatch.setattr(gan_trainers, "gan_input_transform", det_gan_input)
+    monkeypatch.setattr(gan_trainers, "diff_transform", det_diff)
+
+    torch.manual_seed(3)
+    tmodel = _TorchCCModel().double()
+    sd = {n: v.detach().numpy().copy() for n, v in tmodel.state_dict().items()}
+
+    from torch_gan_twins import TAEGenerator
+
+    with jax.enable_x64(True):
+        encoder = create_model("resnet50", norm=True, pooling_type="gem")
+        enc_init = _to64(encoder.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((B, H, W, 3), jnp.float64),
+                                      train=True))
+        p_imp, s_imp = _import_tree(sd, enc_init, gem_p=3.0)
+        enc_vars = {"params": p_imp, "batch_stats": s_imp}
+
+        from reid_gan_tpu.config import GANConfig
+        from reid_gan_tpu.models.dual_gan.ae_model import AEModel
+
+        gan = AEModel(GANConfig(model="AE", model_gen="AE"), gan_height=GH,
+                      gan_width=GW, reid_feat_dim=D, lambda_fus=LAMBDA_FUS)
+        trainer = ClusterContrastWithGANTrainer(
+            encoder, gan, height=H, width=W, temp=TEMP, momentum=MOMENTUM,
+            use_hard=False, lr=LR, weight_decay=WD, num_instances=GROUP)
+        trainer.tx = optax.chain(_capture(), trainer.tx)
+        gan_state = _init_gan_f64(gan, jax.random.PRNGKey(1))
+        state = trainer.init_state(enc_vars, gan_state,
+                                   init_memory(np.asarray(bank)))
+
+        twin_G = TAEGenerator(ngf=64).double()
+        twin_G.load_flax(jax.tree_util.tree_map(np.asarray, gan_state.G))
+        enc_params_np = jax.tree_util.tree_map(np.asarray, enc_vars["params"])
+        enc_stats_np = jax.tree_util.tree_map(np.asarray,
+                                              enc_vars["batch_stats"])
+
+        step = trainer._get_step("train")
+        dev = {"img": jnp.asarray(img_u8), "pid": jnp.asarray(targets),
+               "Xs": jnp.asarray(xs_u8)}
+        new_state, errs = step(state, dev, np.int32(0))
+        j_loss = float(errs["loss"])
+        j_grads = jax.tree_util.tree_map(np.asarray,
+                                         new_state.enc_opt[0]["g"])
+        j_bank = np.asarray(new_state.memory.features)
+        j_enc_bs = jax.tree_util.tree_map(np.asarray,
+                                          new_state.enc_batch_stats)
+        j_g_bs = jax.tree_util.tree_map(
+            np.asarray, new_state.gan.G["batch_stats"])
+
+    # ------------------------------------------------------------ torch side
+    tmodel.train()
+    x_t = (torch.from_numpy(img_u8.transpose(0, 3, 1, 2)).double() / 255.0
+           - torch.tensor(MEAN).view(1, 3, 1, 1)) \
+        / torch.tensor(STD).view(1, 3, 1, 1)
+    xs_t = (torch.from_numpy(xs_u8.transpose(0, 3, 1, 2)).double() / 255.0
+            - 0.5) / 0.5
+    y_t = torch.from_numpy(targets.astype(np.int64))
+    bank_t = torch.from_numpy(bank.copy())
+    opt = torch.optim.Adam(
+        [p for p in tmodel.parameters() if p.requires_grad],
+        lr=LR, weight_decay=WD)
+
+    def l2n(v):
+        return v * (v.pow(2).sum(-1, keepdim=True) + 1e-12).rsqrt()
+
+    # encoder train forward (head as in the train_all oracle)
+    fmap = tmodel.trunk(x_t)
+    pooled = fmap.clamp(min=1e-6).pow(tmodel.gem_p).mean(dim=(2, 3)) \
+        .pow(1.0 / tmodel.gem_p)
+    bn = tmodel.feat_bn(pooled)
+    f_out = bn * (bn.pow(2).sum(1, keepdim=True).sqrt() + 1e-12).reciprocal()
+
+    # synthesize_fc: G-encode, per-group hard mix, decode (train-mode BN)
+    f_s = twin_G.forward_enc(xs_t)
+    reid_f = f_out.detach()
+    anchor = l2n(reid_f.reshape(B // GROUP, GROUP, -1).mean(dim=1))
+    inst = l2n(reid_f)
+    sim = torch.exp(anchor @ inst.t())
+    gidx = torch.arange(B) // GROUP
+    id_mask = (gidx[None, :] == torch.arange(B // GROUP)[:, None]).double()
+    in_id = torch.argmin(id_mask * sim + (1 - id_mask) * sim.max(), dim=1)
+    out_id = torch.argmax((1 - id_mask) * sim, dim=1)
+    mixed = LAMBDA_FUS * f_s[in_id] + (1 - LAMBDA_FUS) * f_s[out_id]
+    fc_image = twin_G.forward_dec(mixed)
+
+    # EVAL-MODE re-encode through the just-updated running stats
+    tmodel.eval()
+    fc = (fc_image.detach() + 1.0) / 2.0
+    fc = fc.repeat_interleave(2, dim=2).repeat_interleave(2, dim=3)
+    fc = (fc - torch.tensor(MEAN).view(1, 3, 1, 1)) \
+        / torch.tensor(STD).view(1, 3, 1, 1)
+    fmap_e = tmodel.trunk(fc)
+    pooled_e = fmap_e.clamp(min=1e-6).pow(tmodel.gem_p).mean(dim=(2, 3)) \
+        .pow(1.0 / tmodel.gem_p)
+    bn_e = tmodel.feat_bn(pooled_e)
+    f_ex = bn_e * (bn_e.pow(2).sum(1, keepdim=True).sqrt() + 1e-12
+                   ).reciprocal()
+    tmodel.train()
+
+    inputs = f_out * (f_out.pow(2).sum(1, keepdim=True) + 1e-12).rsqrt()
+    ex = f_ex.detach() * (f_ex.detach().pow(2).sum(1, keepdim=True)
+                          + 1e-12).rsqrt()
+    logits = inputs @ bank_t.t()
+    lex = inputs @ ex.t()
+    t_idx = torch.arange(B) // GROUP
+    mask = (t_idx[:, None] == torch.arange(B // GROUP)[None, :])
+    lex = lex + torch.where(mask, -10000.0, 0.0)
+    all_logits = torch.cat([logits, lex], dim=1) / TEMP
+    t_loss = tF.cross_entropy(all_logits, y_t, reduction="none").mean()
+
+    opt.zero_grad()
+    t_loss.backward()
+    t_grads = {n: p.grad.detach().numpy().copy()
+               for n, p in tmodel.named_parameters() if p.grad is not None}
+    opt.step()
+
+    with torch.no_grad():
+        for xi, yi in zip(inputs.detach(), y_t):
+            row = MOMENTUM * bank_t[yi] + (1.0 - MOMENTUM) * xi
+            bank_t[yi] = row * (row.pow(2).sum() + 1e-24).rsqrt()
+
+    # ------------------------------------------------------------- asserts
+    np.testing.assert_allclose(j_loss, float(t_loss.detach()), rtol=1e-9)
+    with jax.enable_x64(True):
+        zero_vars = {"params": jax.tree_util.tree_map(np.zeros_like,
+                                                      enc_params_np),
+                     "batch_stats": enc_stats_np}
+        g_tree, _ = _import_tree(t_grads, zero_vars,
+                                 gem_p=t_grads["gem_p"])
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(g_tree)[0])
+    flat_got = dict(jax.tree_util.tree_flatten_with_path(j_grads)[0])
+    assert set(flat_ref) == set(flat_got)
+    checked = 0
+    for path, ref in flat_ref.items():
+        ref = np.asarray(ref)
+        got = np.asarray(flat_got[path])
+        if np.linalg.norm(ref) < 1e-30 and "feat_bn" in str(path):
+            continue
+        # Calibrated noise floor: the stop-gradient f_ex columns enter the
+        # softmax at 1/temp = 20x gain, so their ~1e-9 value-level
+        # reassociation noise (accumulated through encoder + G-enc/dec +
+        # eval re-encode — the same 1e-9 agreement every oracle shows on
+        # values) lands as ~2e-7 ABSOLUTE noise on the encoder grads, whose
+        # large elements are O(10). rtol stays 1e-6; the aggregate
+        # direction/magnitude stays 1e-9/1e-6-tight below.
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6,
+                                   err_msg=str(path))
+        nr, ng_ = np.linalg.norm(ref.ravel()), np.linalg.norm(got.ravel())
+        if nr > 1e-10:
+            cos = float(np.dot(got.ravel(), ref.ravel()) / (ng_ * nr))
+            assert cos > 1.0 - 1e-9, (path, cos)
+            assert abs(ng_ / nr - 1.0) < 1e-6, (path, ng_ / nr)
+        checked += 1
+    assert checked >= 160
+    np.testing.assert_allclose(j_bank, bank_t.numpy(), rtol=1e-9, atol=1e-12)
+
+    # post-step encoder running stats: torch convention, byte-for-byte
+    sd_after = {n: v.detach().numpy().copy()
+                for n, v in tmodel.state_dict().items()}
+    with jax.enable_x64(True):
+        _, s_after = _import_tree(sd_after, {"params": enc_params_np,
+                                             "batch_stats": enc_stats_np},
+                                  gem_p=None)
+    _tree_allclose("post-step encoder batch stats", j_enc_bs, s_after,
+                   rtol=1e-9, atol=1e-12)
+    _tree_allclose("post-step G batch stats", j_g_bs, twin_G.export_stats(),
+                   rtol=1e-8, atol=1e-12)

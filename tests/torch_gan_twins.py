@@ -19,8 +19,9 @@ Conventions:
   kernel.reshape(-1, out), one power iteration per forward starting from the
   stored ``u`` (updates persisted only when ``update=True``), sigma
   differentiable through the kernel, kernel / where(sigma != 0, sigma, 1);
-- BatchNorm follows flax: biased batch variance, eps 1e-5, running stats
-  ra = 0.9*ra + 0.1*batch.
+- BatchNorm follows the framework's TorchBatchNorm (= torch semantics):
+  normalization by the biased batch variance, eps 1e-5, running stats
+  ra = 0.9*ra + 0.1*batch with Bessel's correction on the stored variance.
 """
 
 import math
@@ -157,8 +158,13 @@ class TBatchNorm(nn.Module):
         m = x.mean(dim=self.dims)
         v = x.var(dim=self.dims, unbiased=False)
         with torch.no_grad():
+            n = 1
+            for d in self.dims:
+                n *= x.shape[d]
+            bessel = n / (n - 1) if n > 1 else 1.0
             self.mean.mul_(0.9).add_(0.1 * m.detach())
-            self.var.mul_(0.9).add_(0.1 * v.detach())
+            # torch convention: running_var stores the UNBIASED variance
+            self.var.mul_(0.9).add_(0.1 * bessel * v.detach())
         y = (x - m.view(shape)) / torch.sqrt(v.view(shape) + 1e-5)
         return y * self.scale.view(shape) + self.bias.view(shape)
 
@@ -831,3 +837,87 @@ def _nlayerd_export_stats(self):
 
 TFDGen.export_stats = _fdgen_export_stats
 TNLayerD.export_stats = _nlayerd_export_stats
+
+
+class TResBlock(nn.Module):
+    """base_function.ResBlock twin (sample 'none', batch norm, no spect):
+    norm→act→conv3×3 → norm→act→conv3×3, + 1×1 bypass."""
+
+    def __init__(self, in_c, out_c):
+        super().__init__()
+        self.norm1 = TBatchNorm(in_c)
+        self.conv1 = TConv(in_c, out_c, 3, 1, 1)
+        self.norm2 = TBatchNorm(out_c)
+        self.conv2 = TConv(out_c, out_c, 3, 1, 1)
+        self.bypass = TConv(in_c, out_c, 1, 1, 0)
+
+    def forward(self, x):
+        y = self.conv1(act01(self.norm1(x)))
+        y = self.conv2(act01(self.norm2(y)))
+        return y + self.bypass(x)
+
+    def load_flax(self, p, s):
+        self.norm1.load_flax(p["norm1"], s["norm1"])
+        self.conv1.load_flax(p["conv1"])
+        self.norm2.load_flax(p["norm2"], s["norm2"])
+        self.conv2.load_flax(p["conv2"])
+        self.bypass.load_flax(p["bypass"])
+
+    def grads(self):
+        return {"norm1": self.norm1.grads(), "conv1": self.conv1.grads(),
+                "norm2": self.norm2.grads(), "conv2": self.conv2.grads(),
+                "bypass": self.bypass.grads()}
+
+
+class TAEGenerator(nn.Module):
+    """networks.AEGenerator twin (ngf=64, img_f=256, layers=3, 3 mblocks):
+    split forward_enc / forward_dec, as synthesize_fc uses them."""
+
+    def __init__(self, ngf=64):
+        super().__init__()
+        self.block0 = TEncoderBlockOptimized(3, ngf)
+        self.encoders_0 = TEncoderBlock(ngf, ngf * 2)
+        self.encoders_1 = TEncoderBlock(ngf * 2, ngf * 4)
+        self.mblocks_0 = TResBlock(ngf * 4, ngf * 4)
+        self.mblocks_1 = TResBlock(ngf * 4, ngf * 4)
+        self.mblocks_2 = TResBlock(ngf * 4, ngf * 4)
+        self.dec0 = TResBlockDecoder(ngf * 4, ngf * 2)
+        self.dec1 = TResBlockDecoder(ngf * 2, ngf)
+        self.dec2 = TResBlockDecoder(ngf, ngf)
+        self.outconv = TOutput(ngf, 3)
+
+    def forward_enc(self, x):
+        f = self.block0(x)
+        f = self.encoders_0(f)
+        return self.encoders_1(f)
+
+    def forward_dec(self, f):
+        f = self.mblocks_0(f)
+        f = self.mblocks_1(f)
+        f = self.mblocks_2(f)
+        f = self.dec0(f)
+        f = self.dec1(f)
+        f = self.dec2(f)
+        return self.outconv(f)
+
+    _enc_parts = ("block0", "encoders_0", "encoders_1")
+    _mids = ("mblocks_0", "mblocks_1", "mblocks_2")
+
+    def load_flax(self, variables):
+        p, s = variables["params"], variables.get("batch_stats", {})
+        for n in self._enc_parts + self._mids:
+            getattr(self, n).load_flax(p[n], s.get(n, {}))
+        dp, ds = p["decoder"], s.get("decoder", {})
+        for i in range(3):
+            getattr(self, f"dec{i}").load_flax(dp[f"decoder{i}"],
+                                               ds.get(f"decoder{i}", {}))
+        self.outconv.load_flax(dp["outconv"], ds.get("outconv", {}))
+
+    def grads(self):
+        out = {n: getattr(self, n).grads()
+               for n in self._enc_parts + self._mids}
+        dec = {f"decoder{i}": getattr(self, f"dec{i}").grads()
+               for i in range(3)}
+        dec["outconv"] = self.outconv.grads()
+        out["decoder"] = dec
+        return out
